@@ -1,0 +1,22 @@
+"""smart-tree-tpu: TPU-native neural point-cloud tree skeletonization.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of uc-vision/smart-tree
+(see /root/reference): a sparse submanifold 3D-conv UNet predicts per-point
+medial vectors (direction + log-radius) and branch/foliage labels; a graph
+stage (fixed-radius KNN -> connected components -> SSSP -> greedy branch
+tracing -> prune/repair/smooth) turns predictions into tube skeletons.
+
+Everything hot runs on TPU under jit over padded, static-shape buffers:
+  core/       sorted-key voxel tables, rulebooks, gather-GEMM sparse conv
+  nn/         flax UNet + heads, torch-checkpoint converter
+  neighbors/  masked fixed-radius KNN (MXU distance tiles)
+  graph/      connected components + Bellman-Ford SSSP as lax loops
+  skeleton/   skeletonizer (outlier filter, nn graph, branch tracer, post)
+  data/       Cloud pytree, npz/ply IO, augmentations, tiling, synthesis
+  train/      losses, optax loop, plateau scheduler, trackers
+  infer/      block-tiled bucketed inference, Pipeline orchestration
+  parallel/   device-mesh sharding helpers (DP training, block-parallel infer)
+  viz/        host-side tube meshes / ply export (open3d optional)
+"""
+
+__version__ = "0.1.0"

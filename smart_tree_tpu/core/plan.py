@@ -1,0 +1,88 @@
+"""UNet sparse plan: all rulebooks for one input sparsity pattern.
+
+spconv caches indice pairs per `indice_key` so Encode/Decode share pairings
+(reference model_blocks.py:57-101). Here the analogous object is a
+`UNetPlan` built once per batch from the input coordinates — every level's
+subm rulebook, downsample table, strided rulebook, and inverse rulebook —
+after which the network forward is pure gather+GEMM with zero coordinate
+work. Plans are jit-friendly pytrees with static capacities.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .coords import INVALID_KEY
+from .rulebook import downsample_coords, inverse_rulebook, strided_rulebook, subm_rulebook
+from .sparse_tensor import SparseVoxelTensor
+
+
+@struct.dataclass
+class LevelPlan:
+    keys: jax.Array        # [N_l] sorted voxel keys of this level
+    active: jax.Array      # [N_l] bool
+    subm_rb: jax.Array     # [N_l, 27] submanifold rulebook (into this level)
+    down_rb: jax.Array | None   # [N_{l+1}, 27] strided conv gather (into next)
+    up_rb: jax.Array | None     # [N_l, 27] inverse conv gather (from next)
+    count: jax.Array       # scalar int32 active voxels (overflow check)
+    spatial_shape: Tuple[int, int, int] = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class UNetPlan:
+    levels: Tuple[LevelPlan, ...]
+    batch_size: int = struct.field(pytree_node=False)
+
+
+def build_plan(
+    x: SparseVoxelTensor,
+    num_levels: int,
+    level_capacity_factor: float = 0.5,
+    min_capacity: int = 256,
+) -> UNetPlan:
+    """Build rulebooks for `num_levels` UNet levels (len(unet_planes))."""
+    levels: List[LevelPlan] = []
+    keys = x.keys
+    shape = x.spatial_shape
+    batch = x.batch_size
+    cap = x.capacity
+    for lvl in range(num_levels):
+        active = keys != INVALID_KEY
+        count = jnp.sum(active.astype(jnp.int32))
+        srb = subm_rulebook(keys, shape, batch, 3)
+        if lvl < num_levels - 1:
+            next_cap = max(int(cap * level_capacity_factor), min_capacity)
+            out_keys, out_shape, out_count = downsample_coords(
+                keys, shape, batch, next_cap
+            )
+            drb = strided_rulebook(keys, out_keys, shape, out_shape, batch)
+            urb = inverse_rulebook(keys, out_keys, shape, out_shape, batch)
+            levels.append(
+                LevelPlan(
+                    keys=keys,
+                    active=active,
+                    subm_rb=srb,
+                    down_rb=drb,
+                    up_rb=urb,
+                    count=count,
+                    spatial_shape=shape,
+                )
+            )
+            keys, shape, cap = out_keys, out_shape, next_cap
+        else:
+            levels.append(
+                LevelPlan(
+                    keys=keys,
+                    active=active,
+                    subm_rb=srb,
+                    down_rb=None,
+                    up_rb=None,
+                    count=count,
+                    spatial_shape=shape,
+                )
+            )
+    return UNetPlan(levels=tuple(levels), batch_size=batch)

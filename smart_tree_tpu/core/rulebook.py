@@ -1,0 +1,186 @@
+"""Rulebook (kernel-offset index map) construction for sparse 3D convolution.
+
+This replaces spconv's CUDA hash-table indice-pair generation (backing the
+reference's SubMConv3d / SparseConv3d / SparseInverseConv3d at
+smart_tree/model/model_blocks.py:24,58,91). The TPU formulation: coordinates
+live in a *sorted* packed-key table (core/coords.py), and a rulebook is just
+an [N, K^3] int32 gather-index matrix computed by vectorized binary search —
+idx[i, k] = row of the neighbor of voxel i at kernel offset k, or -1.
+
+Convolutions then become gather -> one [N, K^3*Cin] x [K^3*Cin, Cout] GEMM
+(see core/sparse_ops.py), which is exactly the shape the MXU wants.
+
+Conventions (cross-correlation, torch/XLA-compatible):
+  submanifold k, pad irrelevant:  in_coord = out_coord + (k_off - (K-1)//2)
+  strided K=3,s=2,p=1 (Encode):   in_coord = 2*out_coord - 1 + k_off
+  inverse of Encode (Decode):     out fine f reads coarse o where
+                                  2*o - 1 + k_off = f  (same k indexing,
+                                  pair replay a la spconv inverse conv)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coords import INVALID_KEY, key_bits, lookup, pack_coords, unique_keys, unpack_keys
+
+
+def kernel_offsets(kernel_size: int) -> np.ndarray:
+    """[K^3, 3] int32 offsets in spconv/torch weight order (kx major)."""
+    r = np.arange(kernel_size)
+    kx, ky, kz = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([kx, ky, kz], axis=-1).reshape(-1, 3).astype(np.int32)
+
+
+def _query_keys(
+    coords: jax.Array,
+    offsets: np.ndarray,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    active: jax.Array,
+) -> jax.Array:
+    """Packed keys of coords + each offset: [N, K3] uint32."""
+    c = coords[:, None, :].astype(jnp.int32)  # [N,1,4]
+    off = jnp.asarray(offsets, jnp.int32)  # [K3,3]
+    q = jnp.concatenate(
+        [
+            jnp.broadcast_to(c[..., :1], (c.shape[0], off.shape[0], 1)),
+            c[..., 1:] + off[None, :, :],
+        ],
+        axis=-1,
+    )  # [N,K3,4]
+    flat = q.reshape(-1, 4)
+    keys = pack_coords(
+        flat,
+        spatial_shape,
+        batch_size,
+        valid=jnp.repeat(active, off.shape[0]),
+    )
+    return keys.reshape(coords.shape[0], off.shape[0])
+
+
+def subm_rulebook(
+    keys: jax.Array,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    kernel_size: int = 3,
+) -> jax.Array:
+    """Submanifold rulebook: idx [N, K^3] into the same (sorted) tensor."""
+    if kernel_size == 1:
+        n = keys.shape[0]
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        return jnp.where((keys != INVALID_KEY)[:, None], rows, -1)
+    coords = unpack_keys(keys, spatial_shape, batch_size)
+    active = keys != INVALID_KEY
+    half = (kernel_size - 1) // 2
+    offs = kernel_offsets(kernel_size) - half
+    q = _query_keys(coords, offs, spatial_shape, batch_size, active)
+    return lookup(keys, q.reshape(-1)).reshape(q.shape)
+
+
+def downsample_coords(
+    keys: jax.Array,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    out_capacity: int,
+) -> Tuple[jax.Array, Tuple[int, int, int], jax.Array]:
+    """Output key table of a K=3,s=2,p=1 strided conv (spconv SparseConv3d,
+    reference model_blocks.py:57-70).
+
+    An output voxel o exists iff some input voxel c satisfies
+    2*o - 1 + k = c for k in [0,3)^3, i.e. 2o-1 <= c <= 2o+1 per axis.
+    Candidates per input voxel: o_axis in {(c-1)//2, (c+1)//2} verified by
+    that inequality, then dedup across the batch with static capacity.
+
+    Returns (sorted out_keys [out_capacity], out_spatial_shape, count).
+    """
+    out_shape = tuple((int(s) + 2 - 3) // 2 + 1 for s in spatial_shape)
+    coords = unpack_keys(keys, spatial_shape, batch_size)
+    active = keys != INVALID_KEY
+    c = coords[:, 1:]  # [N,3]
+    lo = (c - 1) // 2
+    hi = (c + 1) // 2
+    n = keys.shape[0]
+    cand_list = []
+    valid_list = []
+    # 8 corner combinations of {lo,hi} per axis
+    for mx in (0, 1):
+        for my in (0, 1):
+            for mz in (0, 1):
+                o = jnp.stack(
+                    [
+                        (hi if mx else lo)[:, 0],
+                        (hi if my else lo)[:, 1],
+                        (hi if mz else lo)[:, 2],
+                    ],
+                    axis=1,
+                )
+                ok = jnp.all((2 * o - 1 <= c) & (c <= 2 * o + 1), axis=1) & active
+                cand_list.append(jnp.concatenate([coords[:, :1], o], axis=1))
+                valid_list.append(ok)
+    cand = jnp.concatenate(cand_list, axis=0)  # [8N,4]
+    cvalid = jnp.concatenate(valid_list, axis=0)
+    ckeys = pack_coords(cand, out_shape, batch_size, valid=cvalid)
+    out_keys, _, _, count = unique_keys(ckeys, out_capacity)
+    return out_keys, out_shape, count
+
+
+def strided_rulebook(
+    in_keys: jax.Array,
+    out_keys: jax.Array,
+    in_spatial_shape: Sequence[int],
+    out_spatial_shape: Sequence[int],
+    batch_size: int,
+) -> jax.Array:
+    """Gather rulebook for the strided conv: for each OUTPUT voxel o and
+    kernel offset k, the input row at coord 2*o_coord - 1 + k (or -1)."""
+    out_coords = unpack_keys(out_keys, out_spatial_shape, batch_size)
+    active = out_keys != INVALID_KEY
+    offs = kernel_offsets(3)  # [27,3] in [0,3)
+    base = out_coords.at[:, 1:].multiply(2)
+    base = base.at[:, 1:].add(-1)
+    q = _query_keys(base, offs, in_spatial_shape, batch_size, active)
+    return lookup(in_keys, q.reshape(-1)).reshape(q.shape)
+
+
+def inverse_rulebook(
+    fine_keys: jax.Array,
+    coarse_keys: jax.Array,
+    fine_spatial_shape: Sequence[int],
+    coarse_spatial_shape: Sequence[int],
+    batch_size: int,
+) -> jax.Array:
+    """Gather rulebook for the inverse conv (spconv SparseInverseConv3d,
+    reference model_blocks.py:90-101): for each FINE voxel f and offset k,
+    the coarse row o with 2*o - 1 + k = f, i.e. o = (f + 1 - k)/2 where the
+    division is exact; -1 otherwise. Replays the Encode pairing transposed,
+    so Decode output sites are exactly the pre-Encode sites (indice_key
+    semantics) without storing anything."""
+    fine_coords = unpack_keys(fine_keys, fine_spatial_shape, batch_size)
+    active = fine_keys != INVALID_KEY
+    offs = kernel_offsets(3)
+    f = fine_coords[:, None, 1:].astype(jnp.int32)  # [N,1,3]
+    num = f + 1 - jnp.asarray(offs, jnp.int32)[None, :, :]  # [N,27,3]
+    exact = jnp.all(num % 2 == 0, axis=-1)  # divisible
+    o = num // 2
+    q = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                fine_coords[:, None, :1], (f.shape[0], offs.shape[0], 1)
+            ),
+            o,
+        ],
+        axis=-1,
+    ).reshape(-1, 4)
+    keys = pack_coords(
+        q,
+        coarse_spatial_shape,
+        batch_size,
+        valid=(exact & active[:, None]).reshape(-1),
+    )
+    return lookup(coarse_keys, keys).reshape(fine_keys.shape[0], offs.shape[0])

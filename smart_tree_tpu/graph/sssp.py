@@ -1,0 +1,109 @@
+"""Single-source shortest paths with predecessors — cugraph.sssp replacement.
+
+The reference runs cugraph.sssp twice per component
+(smart_tree/skeleton/skeletonize.py:73-85, shortest_path.py:12-21): once on
+the KNN graph for the path tree, once on the predecessor tree for true
+root distances. TPU formulation:
+
+  sssp:            Bellman-Ford edge relaxation (gather + segment-min
+                   scatter) under a convergence-checked lax.while_loop;
+                   predecessors recovered bit-exactly afterwards because the
+                   converged distances satisfy dist[v] = dist[pred]+w.
+  tree_distances:  for the second pass the graph IS a tree, so root
+                   distances accumulate by pointer doubling in O(log n)
+                   steps — no iteration-to-convergence at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("num_vertices",))
+def sssp(
+    edges: jax.Array,
+    weights: jax.Array,
+    edge_valid: jax.Array,
+    source: jax.Array,
+    num_vertices: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Undirected weighted SSSP.
+
+    edges [E,2] int32, weights [E] float32 >= 0, edge_valid [E] bool,
+    source scalar int32.
+
+    Returns (dist [n] float32 — inf if unreachable,
+             pred [n] int32 — predecessor on a shortest path, -1 at the
+             source and at unreachable vertices), matching cugraph.sssp's
+    vertex/predecessor/distance contract.
+    """
+    n = num_vertices
+    u = jnp.where(edge_valid, edges[:, 0], 0)
+    v = jnp.where(edge_valid, edges[:, 1], 0)
+    w = jnp.where(edge_valid, weights, INF)
+
+    dist0 = jnp.full((n,), INF).at[source].set(0.0)
+
+    def cond(state):
+        dist, changed = state
+        return changed
+
+    def body(state):
+        dist, _ = state
+        cand_v = dist[u] + w  # relax u -> v
+        cand_u = dist[v] + w  # relax v -> u
+        new = dist
+        new = new.at[v].min(cand_v)
+        new = new.at[u].min(cand_u)
+        return new, jnp.any(new < dist)
+
+    dist, _ = jax.lax.while_loop(cond, body, (dist0, jnp.bool_(True)))
+
+    # Predecessor extraction: after convergence dist[v] == dist[u*] + w for
+    # the relaxation winner u*, bit-exact (the final min produced it).
+    pred = jnp.full((n,), -1, jnp.int32)
+    hit_v = edge_valid & (dist[u] + w == dist[v]) & jnp.isfinite(dist[v])
+    hit_u = edge_valid & (dist[v] + w == dist[u]) & jnp.isfinite(dist[u])
+    big = jnp.int32(n)
+    cand = jnp.full((n,), big, jnp.int32)
+    cand = cand.at[jnp.where(hit_v, v, 0)].min(jnp.where(hit_v, u, big))
+    cand = cand.at[jnp.where(hit_u, u, 0)].min(jnp.where(hit_u, v, big))
+    pred = jnp.where((cand < big), cand, -1)
+    pred = pred.at[source].set(-1)
+    return dist, pred
+
+
+@partial(jax.jit, static_argnames=("num_vertices",))
+def tree_distances(
+    pred: jax.Array,
+    step_weight: jax.Array,
+    num_vertices: int,
+) -> jax.Array:
+    """Root distance along a predecessor tree by pointer doubling.
+
+    pred [n] int32 (-1 at roots), step_weight [n] float32 (distance from
+    each vertex to its predecessor; ignored at roots). O(log n) steps.
+    """
+    n = num_vertices
+    d = jnp.where(pred >= 0, step_weight, 0.0)
+    p = pred
+    steps = max(int(n - 1).bit_length(), 1)
+
+    # accumulate: d_i += d_{p_i}; p_i = p_{p_i} (reads are from the previous
+    # iterate — jnp arrays are immutable, so no double counting)
+    def body2(_, state):
+        d, p = state
+        has = p >= 0
+        pc = jnp.clip(p, 0, n - 1)
+        d = d + jnp.where(has, d[pc], 0.0)
+        p = jnp.where(has, p[pc], p)
+        return d, p
+
+    d, p = jax.lax.fori_loop(0, steps, body2, (d, p))
+    return d

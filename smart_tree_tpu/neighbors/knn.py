@@ -1,0 +1,123 @@
+"""Masked fixed-radius K-nearest-neighbours on TPU.
+
+Replaces the FRNN CUDA grid KNN used throughout the reference skeleton stage
+(smart_tree/skeleton/graph.py:12-33 `knn`/`nn`). Formulation: tiled
+brute-force — squared distances per (src-tile, dst-chunk) via an MXU matmul
+(|s-d|^2 = |s|^2 + |d|^2 - 2 s.d), merged into a running top-K with
+lax.top_k under a lax.scan. Fully static shapes; padding via validity masks.
+
+Semantics match FRNN usage in the reference:
+  - the query point itself is a neighbour (distance 0) when src is dst
+  - results sorted ascending by distance
+  - neighbours beyond `r` get idx=-1, dist=+inf
+A grid-bucketed Pallas variant is the planned optimization for multi-million
+point clouds; this formulation is exact and jit-friendly at the reference's
+scales (<=1M medial points).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_SRC_TILE = 4096
+_DST_CHUNK = 16384
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
+    n = src.shape[0]
+    m = dst.shape[0]
+    dst_norm2 = jnp.sum(dst * dst, axis=1)  # [M]
+    big = jnp.float32(jnp.inf)
+
+    n_chunks = (m + _DST_CHUNK - 1) // _DST_CHUNK
+    m_pad = n_chunks * _DST_CHUNK
+    dstp = jnp.pad(dst, ((0, m_pad - m), (0, 0)))
+    dstv = jnp.pad(dst_valid, (0, m_pad - m))
+    dstn2 = jnp.pad(dst_norm2, (0, m_pad - m))
+    dst_chunks = dstp.reshape(n_chunks, _DST_CHUNK, 3)
+    dstv_chunks = dstv.reshape(n_chunks, _DST_CHUNK)
+    dstn2_chunks = dstn2.reshape(n_chunks, _DST_CHUNK)
+
+    n_tiles = (n + _SRC_TILE - 1) // _SRC_TILE
+    n_pad = n_tiles * _SRC_TILE
+    srcp = jnp.pad(src, ((0, n_pad - n), (0, 0)))
+    srcv = jnp.pad(src_valid, (0, n_pad - n))
+
+    def src_tile_body(carry, tile):
+        s, sv = tile  # [TS,3], [TS]
+        s_norm2 = jnp.sum(s * s, axis=1)
+
+        def dst_chunk_body(state, chunk):
+            best_d, best_i = state  # [TS,K]
+            d, dv, dn2, base = chunk
+            # [TS, DC] squared distances on the MXU
+            d2 = (
+                s_norm2[:, None]
+                + dn2[None, :]
+                - 2.0 * jnp.dot(s, d.T, preferred_element_type=jnp.float32)
+            )
+            d2 = jnp.maximum(d2, 0.0)
+            d2 = jnp.where(dv[None, :], d2, big)
+            cand_d = jnp.concatenate([best_d, d2], axis=1)
+            idx_cols = base + jnp.arange(_DST_CHUNK, dtype=jnp.int32)
+            cand_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(idx_cols[None, :], d2.shape)], axis=1
+            )
+            neg_top, arg = jax.lax.top_k(-cand_d, k)
+            new_d = -neg_top
+            new_i = jnp.take_along_axis(cand_i, arg, axis=1)
+            return (new_d, new_i), None
+
+        init = (
+            jnp.full((s.shape[0], k), big),
+            jnp.full((s.shape[0], k), -1, jnp.int32),
+        )
+        bases = (jnp.arange(n_chunks, dtype=jnp.int32) * _DST_CHUNK)
+        (best_d, best_i), _ = jax.lax.scan(
+            dst_chunk_body, init, (dst_chunks, dstv_chunks, dstn2_chunks, bases)
+        )
+        # radius gate + invalid-src gate
+        ok = (best_d <= r2) & sv[:, None] & (best_i >= 0)
+        best_i = jnp.where(ok, best_i, -1)
+        best_d = jnp.where(ok, best_d, big)
+        return carry, (best_d, best_i)
+
+    tiles_s = srcp.reshape(n_tiles, _SRC_TILE, 3)
+    tiles_v = srcv.reshape(n_tiles, _SRC_TILE)
+    _, (dists, idxs) = jax.lax.scan(src_tile_body, None, (tiles_s, tiles_v))
+    dists = dists.reshape(n_pad, k)[:n]
+    idxs = idxs.reshape(n_pad, k)[:n]
+    return jnp.sqrt(dists), idxs
+
+
+def knn(
+    src: jax.Array,
+    dst: jax.Array,
+    k: int,
+    r: jax.Array | float,
+    src_valid: jax.Array | None = None,
+    dst_valid: jax.Array | None = None,
+):
+    """K nearest dst per src within radius r.
+
+    Returns (dists [N,K] float32 — euclidean, inf where missing;
+             idxs [N,K] int32 — -1 where missing), sorted ascending.
+    """
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    if src_valid is None:
+        src_valid = jnp.ones((src.shape[0],), bool)
+    if dst_valid is None:
+        dst_valid = jnp.ones((dst.shape[0],), bool)
+    r2 = jnp.asarray(r, jnp.float32) ** 2
+    return _knn_impl(src, dst, src_valid, dst_valid, r2, k)
+
+
+def nn(src, dst, r, src_valid=None, dst_valid=None):
+    """Nearest single neighbour (reference graph.py:29-33)."""
+    d, i = knn(src, dst, 1, r, src_valid, dst_valid)
+    return d[:, 0], i[:, 0]

@@ -1,0 +1,97 @@
+"""Skeletonizer: medial cloud -> DisjointTreeSkeleton.
+
+Rebuild of reference smart_tree/skeleton/skeletonize.py:18-95, restructured
+TPU-first. The reference round-trips every connected component through
+cugraph/cudf/pandas with renumbering; here components never leave the
+device and are never renumbered — a per-component SSSP from that
+component's root on the *global* padded edge list reaches exactly the
+component (everything else stays at inf), so the only host work is the
+small per-component loop and branch assembly.
+
+Stages (parity with skeletonize.py:31-95):
+  1. outlier_removal on medial points             (filter.py)
+  2. nn_graph, radius clamped to min_connection   (graph.py, K=16)
+  3. connected components >= minimum_graph_vertices, largest first
+  4. per component: SSSP from lowest-y surface point -> predecessor tree
+     -> pointer-doubled root distances -> greedy sample_tree
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.cloud import Cloud
+from ..data.tree import DisjointTreeSkeleton, TreeSkeleton
+from ..graph import component_sizes, connected_components, sssp, tree_distances
+from .filter import outlier_removal
+from .graph import nn_graph
+from .path import sample_tree
+
+
+@dataclass
+class Skeletonizer:
+    K: int = 16
+    min_connection_length: float = 0.02
+    minimum_graph_vertices: int = 32
+    hop_cap: int = 4096
+    max_components: int = 64
+
+    def forward(self, cloud: Cloud) -> DisjointTreeSkeleton:
+        cloud = cloud.device()
+        medial_pts = jnp.asarray(cloud.medial_pts, jnp.float32)
+        radii = jnp.asarray(cloud.radius, jnp.float32).reshape(-1)
+        xyz = jnp.asarray(cloud.xyz, jnp.float32)
+        n = medial_pts.shape[0]
+
+        keep = outlier_removal(medial_pts, radii, nb_points=8)
+
+        graph = nn_graph(
+            medial_pts,
+            jnp.clip(radii, min=self.min_connection_length),
+            k=self.K,
+            valid=keep,
+        )
+
+        labels = connected_components(graph.edges, graph.valid, n, vertex_valid=keep)
+        sizes = component_sizes(labels, keep)
+
+        # component ids = min vertex ids; pick those above threshold,
+        # largest first (reference graph.py sorts components by size)
+        sizes_np = np.asarray(sizes)
+        comp_ids = np.nonzero(sizes_np >= self.minimum_graph_vertices)[0]
+        comp_ids = comp_ids[np.argsort(-sizes_np[comp_ids])][: self.max_components]
+
+        labels_dev = labels
+        skeletons: List[TreeSkeleton] = []
+        for skeleton_id, comp in enumerate(comp_ids):
+            comp_mask = (labels_dev == int(comp)) & keep
+            # root = lowest-y *surface* point of the component
+            # (Cloud.root_idx convention, reference cloud.py:204-206)
+            y = jnp.where(comp_mask, xyz[:, 1], jnp.inf)
+            root = jnp.argmin(y).astype(jnp.int32)
+
+            dist, preds = sssp(graph.edges, graph.weights, graph.valid, root, n)
+            # predecessor tree with euclidean medial-space step weights
+            # (reference shortest_path.py:46-56 + second sssp)
+            step = jnp.linalg.norm(
+                medial_pts - medial_pts[jnp.maximum(preds, 0)], axis=1
+            )
+            root_dist = tree_distances(preds, step, n)
+
+            branches = sample_tree(
+                medial_pts,
+                radii,
+                preds,
+                root_dist,
+                comp_mask,
+                hop_cap=self.hop_cap,
+            )
+            if branches:
+                skeletons.append(TreeSkeleton(skeleton_id, branches))
+
+        return DisjointTreeSkeleton(skeletons)

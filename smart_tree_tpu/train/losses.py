@@ -1,0 +1,76 @@
+"""Training losses — rebuild of reference smart_tree/model/loss.py.
+
+Same algebra, mask-based instead of boolean indexing (TPU static shapes):
+  radius:    L1 on log-radius, branch points only (vector_class mask)
+  direction: mean(1 - cosine similarity), branch points only
+  class:     focal loss (gamma=2) over all masked points
+The dead nll_loss / unused dice_loss of the reference are not ported
+(SURVEY.md §2.1 flags them as dead code).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def l1_loss(pred: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Array:
+    return _masked_mean(jnp.abs(pred - target).reshape(-1), mask.reshape(-1))
+
+
+def cosine_similarity_loss(
+    pred: jax.Array, target: jax.Array, mask: jax.Array
+) -> jax.Array:
+    # torch CosineSimilarity default eps=1e-8 on the norm product
+    num = jnp.sum(pred * target, axis=1)
+    den = jnp.maximum(
+        jnp.linalg.norm(pred, axis=1) * jnp.linalg.norm(target, axis=1), 1e-8
+    )
+    return _masked_mean(1.0 - num / den, mask)
+
+
+def focal_loss(
+    logits: jax.Array, labels: jax.Array, mask: jax.Array, gamma: float = 2.0
+) -> jax.Array:
+    logp = jax.nn.log_softmax(logits, axis=1)
+    lab = labels.reshape(-1).astype(jnp.int32)
+    logpt = jnp.take_along_axis(logp, lab[:, None], axis=1).reshape(-1)
+    pt = jnp.exp(logpt)
+    loss = -((1 - pt) ** gamma) * logpt
+    return _masked_mean(loss, mask)
+
+
+def compute_loss(
+    preds: Dict[str, jax.Array],
+    targets: jax.Array,
+    mask: jax.Array,
+    vector_class: int | None = 0,
+    target_radius_log: bool = True,
+) -> Dict[str, jax.Array]:
+    """targets: [N, 5] = [radius, direction(3), class]; mask: [N] bool
+    (loss mask AND active-voxel mask). Matches reference loss.py:7-50."""
+    target_radius = targets[:, 0:1]
+    target_direction = targets[:, 1:4]
+    target_class = targets[:, 4]
+
+    vmask = mask
+    if vector_class is not None:
+        vmask = mask & (target_class == vector_class)
+
+    if target_radius_log:
+        target_radius = jnp.log(jnp.maximum(target_radius, 1e-12))
+
+    return {
+        "radius": l1_loss(preds["radius"], target_radius, vmask),
+        "direction": cosine_similarity_loss(
+            preds["direction"], target_direction, vmask
+        ),
+        "class_l": focal_loss(preds["class_l"], target_class, mask),
+    }

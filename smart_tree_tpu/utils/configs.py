@@ -1,0 +1,105 @@
+"""Minimal Hydra-compatible config system.
+
+Hydra/omegaconf are not available in this environment, so this module
+implements the subset the reference relies on (cli.py:10-16,
+train.py:166-206): YAML configs with `_target_`/`_partial_` recursive
+instantiation, `${dotted.path}` interpolation against the config root, and
+`key=value` / `+key=value` CLI overrides. CLI surface stays identical:
+`run-smart-tree +path=cloud.ply`.
+"""
+
+from __future__ import annotations
+
+import functools
+import importlib
+import re
+from pathlib import Path
+from typing import Any, Dict, List
+
+import yaml
+
+_INTERP = re.compile(r"^\$\{([^}]+)\}$")
+_INTERP_PART = re.compile(r"\$\{([^}]+)\}")
+
+
+def load_yaml(path) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _get_path(root: Dict[str, Any], dotted: str):
+    node: Any = root
+    for part in dotted.split("."):
+        node = node[part]
+    return node
+
+
+def resolve(node: Any, root: Dict[str, Any]) -> Any:
+    """Resolve ${...} interpolations recursively."""
+    if isinstance(node, dict):
+        return {k: resolve(v, root) for k, v in node.items()}
+    if isinstance(node, list):
+        return [resolve(v, root) for v in node]
+    if isinstance(node, str):
+        m = _INTERP.match(node)
+        if m:
+            return resolve(_get_path(root, m.group(1)), root)
+        if _INTERP_PART.search(node):
+            return _INTERP_PART.sub(
+                lambda mm: str(resolve(_get_path(root, mm.group(1)), root)), node
+            )
+    return node
+
+
+def _import_target(target: str):
+    module, _, attr = target.rpartition(".")
+    return getattr(importlib.import_module(module), attr)
+
+
+def instantiate(node: Any, **overrides) -> Any:
+    """Recursively instantiate `_target_` nodes (hydra.utils.instantiate
+    subset: _partial_, positional-free kwargs)."""
+    if isinstance(node, list):
+        return [instantiate(v) for v in node]
+    if not isinstance(node, dict):
+        return node
+    if "_target_" not in node:
+        return {k: instantiate(v) for k, v in node.items()}
+    target = _import_target(node["_target_"])
+    partial = bool(node.get("_partial_", False))
+    kwargs = {
+        k: instantiate(v)
+        for k, v in node.items()
+        if k not in ("_target_", "_partial_")
+    }
+    kwargs.update(overrides)
+    if partial:
+        return functools.partial(target, **kwargs)
+    return target(**kwargs)
+
+
+def apply_overrides(cfg: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
+    """key=value and +key=value (add) CLI overrides, dotted paths."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override '{ov}' is not key=value")
+        key, val = ov.split("=", 1)
+        key = key.lstrip("+")
+        parsed = yaml.safe_load(val)
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = parsed
+    return cfg
+
+
+def compose(config_path, overrides: List[str] | None = None) -> Dict[str, Any]:
+    cfg = load_yaml(config_path)
+    if overrides:
+        cfg = apply_overrides(cfg, list(overrides))
+    return resolve(cfg, cfg)
+
+
+def default_conf_dir() -> Path:
+    return Path(__file__).resolve().parent.parent / "conf"

@@ -1,0 +1,63 @@
+import numpy as np
+
+from smart_tree_tpu.neighbors import knn, nn
+
+
+def brute_knn(src, dst, k, r, dst_valid=None):
+    d2 = ((src[:, None, :] - dst[None, :, :]) ** 2).sum(-1)
+    if dst_valid is not None:
+        d2[:, ~dst_valid] = np.inf
+    order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    dists = np.sqrt(np.take_along_axis(d2, order, axis=1))
+    idxs = order.astype(np.int32)
+    bad = dists > r
+    idxs[bad] = -1
+    dists[bad] = np.inf
+    return dists, idxs
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(300, 3)).astype(np.float32)
+    dst = rng.normal(size=(257, 3)).astype(np.float32)
+    k, r = 5, 0.6
+    d_ref, i_ref = brute_knn(src, dst, k, r)
+    d, i = map(np.asarray, knn(src, dst, k, r))
+    # compare by distance (ties may reorder equal-distance indices)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(d), d, 0), np.where(np.isfinite(d_ref), d_ref, 0),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert ((i >= 0) == (i_ref >= 0)).all()
+    # non-tied entries must match exactly
+    match = (i == i_ref) | (i < 0)
+    assert match.mean() > 0.95
+
+
+def test_knn_self_query_includes_self():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    d, i = map(np.asarray, knn(pts, pts, 3, 10.0))
+    np.testing.assert_array_equal(i[:, 0], np.arange(50))
+    np.testing.assert_allclose(d[:, 0], 0, atol=1e-3)
+
+
+def test_knn_respects_masks():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    dst_valid = np.zeros(64, bool)
+    dst_valid[:10] = True
+    d, i = map(np.asarray, knn(pts, pts, 4, 10.0, dst_valid=dst_valid))
+    assert (i[i >= 0] < 10).all()
+    src_valid = np.zeros(64, bool)
+    src_valid[5:] = True
+    d, i = map(np.asarray, knn(pts, pts, 4, 10.0, src_valid=src_valid))
+    assert (i[:5] == -1).all()
+
+
+def test_nn_shape():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(20, 3)).astype(np.float32)
+    b = rng.normal(size=(30, 3)).astype(np.float32)
+    d, i = map(np.asarray, nn(a, b, 5.0))
+    assert d.shape == (20,) and i.shape == (20,)
