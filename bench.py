@@ -1,0 +1,82 @@
+"""Benchmark harness — run on real TPU hardware by the driver.
+
+Measures points/sec of the full sparse-UNet inference path (voxel-tensor
+build + rulebooks + forward) on a synthetic tree, the workload defined by
+the reference inference config (voxel 0.01 m, block 4 m, buffer 0.4 m,
+batch 4 — /root/reference/smart_tree/conf/pipeline.yaml:13-18).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the CPU reference-semantics throughput recorded
+in BASELINE.md (the reference publishes no numbers; BASELINE.json directs us
+to establish a CPU baseline empirically — see `--record-cpu-baseline`).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# measured once with --record-cpu-baseline on this machine's CPU backend
+# (reference-semantics workload, identical code path); see BASELINE.md
+CPU_BASELINE_POINTS_PER_SEC = 162_000.0
+
+
+def main() -> int:
+    record_cpu = "--record-cpu-baseline" in sys.argv
+    if record_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
+
+    import numpy as np
+
+    from smart_tree_tpu.data.augmentations import CentreCloud
+    from smart_tree_tpu.data.synthetic import generate_tree
+    from smart_tree_tpu.infer.inference import ModelInference
+
+    cloud, _ = generate_tree(
+        seed=0, height=12.0, trunk_radius=0.25, points_per_m2=12000.0,
+        foliage_points=20000,
+    )
+    cloud = CentreCloud()(cloud)
+    n_points = len(cloud)
+
+    mi = ModelInference(
+        str(REPO / "smart_tree_tpu/weights/noble-elevator-58.npz"),
+        voxel_size=0.01,
+        block_size=4.0,
+        buffer_size=0.4,
+        batch_size=4,
+        precision="bfloat16",
+    )
+
+    # warmup (compile)
+    mi.forward(cloud)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        lc = mi.forward(cloud)
+    dt = (time.perf_counter() - t0) / reps
+
+    pps = n_points / dt
+    out = {
+        "metric": "sparse-unet inference points/sec",
+        "value": round(pps, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(pps / CPU_BASELINE_POINTS_PER_SEC, 2),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

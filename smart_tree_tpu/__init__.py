@@ -20,3 +20,16 @@ Everything hot runs on TPU under jit over padded, static-shape buffers:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: TPU (re)compiles dominate cold-start latency
+# (remote-compile tunnels especially); cache XLA executables across runs.
+try:  # pragma: no cover - best effort
+    _cache_dir = _os.environ.get("SMART_TREE_TPU_JAX_CACHE", "/tmp/jax_cache")
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

@@ -41,10 +41,17 @@ class UNetPlan:
 def build_plan(
     x: SparseVoxelTensor,
     num_levels: int,
-    level_capacity_factor: float = 0.5,
+    level_capacity_factor: float = 1.0,
     min_capacity: int = 256,
 ) -> UNetPlan:
-    """Build rulebooks for `num_levels` UNet levels (len(unet_planes))."""
+    """Build rulebooks for `num_levels` UNet levels (len(unet_planes)).
+
+    level_capacity_factor sizes each level's buffer relative to the previous
+    one. IMPORTANT: a stride-2 sparse conv can have MORE output voxels than
+    inputs (each input touches up to 8 coarse cells and sparse data may not
+    dedup them), so the safe default is 1.0; every LevelPlan carries `count`
+    so callers can detect overflow (see check_plan / plan counts in
+    infer/inference.py)."""
     levels: List[LevelPlan] = []
     keys = x.keys
     shape = x.spatial_shape

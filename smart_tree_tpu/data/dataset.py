@@ -1,0 +1,290 @@
+"""Datasets: training voxel batches and inference block tiling.
+
+Rebuild of reference smart_tree/dataset/dataset.py, restructured for TPU:
+
+  TreeDataset       (dataset.py:18-141): load npz -> augment -> gather
+                    input/target features by name -> voxelize (1 pt/voxel
+                    dedup) -> PADDED fixed-capacity batch. No torch
+                    DataLoader; a simple host iterator feeds jit.
+  BlockTiler        (SingleTreeInference, dataset.py:144-229): floor-div the
+                    cloud into block_size cubes, drop blocks < min_points,
+                    crop each with +-buffer halo, voxelize, interior mask.
+                    Blocks are BUCKETED to a few static capacities so jit
+                    compiles once per bucket instead of per shape.
+
+Voxelization itself runs on device (core/voxelize.py) — the host only
+slices/pads numpy arrays.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, List, NamedTuple, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.maths import cube_filter
+from .cloud import Cloud
+from .file import load_cloud
+
+
+def _ceil_pow2(n: int, floor: int = 1024) -> int:
+    cap = floor
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class VoxelBatch(NamedTuple):
+    """Host-side padded batch, ready to ship to device."""
+
+    feats: np.ndarray        # [cap, C_in] input features
+    targets: np.ndarray | None  # [cap, C_t] target features
+    coords: np.ndarray       # [cap, 4] int32 (b, x, y, z); -1 padding
+    mask: np.ndarray         # [cap] bool: loss/interior mask
+    valid: np.ndarray        # [cap] bool: real voxel rows
+    spatial_shape: Tuple[int, int, int]
+    batch_size: int
+    filenames: tuple
+
+
+def _feature(cloud: Cloud, name: str) -> np.ndarray:
+    v = np.asarray(getattr(cloud, name))
+    return v.reshape(len(cloud), -1).astype(np.float32)
+
+
+def voxelize_host(
+    xyz: np.ndarray, data: np.ndarray, voxel_size: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host dedup voxelizer: floor-quantize against min corner, keep the
+    first point per voxel (np.unique semantics, matching the reference's
+    PointToVoxel max_num_points_per_voxel=1 + sparse_quantize)."""
+    origin = xyz.min(axis=0)
+    g = np.floor((xyz - origin) / voxel_size).astype(np.int32)
+    _, first = np.unique(g, axis=0, return_index=True)
+    return g[first], data[first]
+
+
+@dataclass
+class TreeDataset:
+    """Training dataset over the synthetic-trees split json
+    (reference dataset.py:18-141; conf keys identical)."""
+
+    voxel_size: float
+    json_path: str | Path
+    directory: str | Path
+    mode: str
+    input_features: Sequence[str]
+    target_features: Sequence[str]
+    augmentation=None
+    cache: bool = False
+    seed: int = 0
+
+    def __init__(
+        self,
+        voxel_size,
+        json_path,
+        directory,
+        mode,
+        input_features,
+        target_features,
+        augmentation=None,
+        cache: bool = False,
+        seed: int = 0,
+    ):
+        self.voxel_size = voxel_size
+        self.mode = mode
+        self.augmentation = augmentation
+        self.directory = Path(directory)
+        self.input_features = list(input_features)
+        self.target_features = list(target_features)
+        json_path = Path(json_path)
+        assert json_path.is_file(), f"json metadata does not exist at '{json_path}'"
+        data = json.load(open(json_path))
+        key = {"train": "train", "validation": "validation", "test": "test"}[mode]
+        self.tree_paths = data[key]
+        missing = [
+            p for p in self.tree_paths if not (self.directory / p).is_file()
+        ]
+        assert len(missing) == 0, f"Missing {len(missing)} files: {missing[:4]}"
+        self._cache = {} if cache else None
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.tree_paths)
+
+    def load(self, idx: int) -> Cloud:
+        fname = self.directory / self.tree_paths[idx]
+        if self._cache is None:
+            return load_cloud(fname)
+        if fname not in self._cache:
+            self._cache[fname] = load_cloud(fname)
+        return self._cache[fname]
+
+    def item(self, idx: int):
+        """One voxelized item: (coords [M,3] int32, input [M,Ci],
+        target [M,Ct], filename)."""
+        cld = self.load(idx)
+        if self.augmentation is not None:
+            cld = self.augmentation(cld, self.rng)
+        assert len(cld) > 0, f"Empty cloud after augmentation: {self.tree_paths[idx]}"
+        inputs = np.concatenate(
+            [_feature(cld, n) for n in self.input_features], axis=1
+        )
+        targets = np.concatenate(
+            [_feature(cld, n) for n in self.target_features], axis=1
+        )
+        data = np.concatenate([inputs, targets], axis=1)
+        coords, data = voxelize_host(np.asarray(cld.xyz, np.float32), data, self.voxel_size)
+        ci = inputs.shape[1]
+        return coords, data[:, :ci], data[:, ci:], self.tree_paths[idx]
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, capacity: int | None = None
+    ) -> Iterator[VoxelBatch]:
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idxs = order[start : start + batch_size]
+            items = [self.item(i) for i in idxs]
+            yield collate(items, batch_size, capacity)
+
+
+def collate(items, batch_size: int, capacity: int | None = None) -> VoxelBatch:
+    """Stack per-item voxels into one padded batch with a batch-index
+    column (reference sparse.py:40-61 batch_collate)."""
+    total = sum(len(it[0]) for it in items)
+    cap = capacity or _ceil_pow2(total)
+    ci = items[0][1].shape[1]
+    ct = items[0][2].shape[1] if items[0][2] is not None else 0
+    coords = np.full((cap, 4), -1, np.int32)
+    feats = np.zeros((cap, ci), np.float32)
+    targets = np.zeros((cap, ct), np.float32) if ct else None
+    mask = np.zeros(cap, bool)
+    valid = np.zeros(cap, bool)
+    row = 0
+    max_c = np.zeros(3, np.int64)
+    names = []
+    for b, it in enumerate(items):
+        c, f, t, name = it
+        names.append(name)
+        n = len(c)
+        if row + n > cap:
+            n = cap - row  # truncate on overflow (callers size capacity)
+        coords[row : row + n, 0] = b
+        coords[row : row + n, 1:] = c[:n]
+        feats[row : row + n] = f[:n]
+        if targets is not None:
+            targets[row : row + n] = t[:n]
+        mask[row : row + n] = True
+        valid[row : row + n] = True
+        if n:
+            max_c = np.maximum(max_c, c[:n].max(axis=0))
+        row += n
+    shape = tuple(int(v) + 1 for v in max_c)
+    return VoxelBatch(
+        feats=feats,
+        targets=targets,
+        coords=coords,
+        mask=mask,
+        valid=valid,
+        spatial_shape=shape,
+        batch_size=len(items),
+        filenames=tuple(names),
+    )
+
+
+@dataclass
+class Block:
+    coords: np.ndarray     # [M,3] voxel coords (block-local grid)
+    feats: np.ndarray      # [M,6] xyz+rgb of the surviving point
+    interior: np.ndarray   # [M] bool: voxel centre inside the un-buffered cube
+    spatial_shape: Tuple[int, int, int]
+
+
+class BlockTiler:
+    """Spatial tiling with halos (reference SingleTreeInference,
+    dataset.py:144-229). Produces bucketed padded batches."""
+
+    def __init__(
+        self,
+        cloud: Cloud,
+        voxel_size: float,
+        block_size: float = 4.0,
+        buffer_size: float = 0.4,
+        min_points: int = 20,
+    ):
+        self.voxel_size = voxel_size
+        self.block_size = block_size
+        self.buffer_size = buffer_size
+        # static worst-case grid for every block: the spatial shape only
+        # affects key bit-packing (not compute), so one fixed shape means
+        # one jit compile per capacity bucket instead of one per batch
+        side = int(np.ceil((block_size + 2 * buffer_size) / voxel_size)) + 1
+        self.grid_shape = (side, side, side)
+        xyz = np.asarray(cloud.xyz, np.float32)
+        rgb = (
+            np.asarray(cloud.rgb, np.float32)
+            if cloud.rgb is not None
+            else np.zeros_like(xyz)
+        )
+        q = np.floor(xyz / block_size).astype(np.int64)
+        ids, counts = np.unique(q, axis=0, return_counts=True)
+        ids = ids[counts > min_points]
+        self.block_centres = ids * block_size + block_size / 2
+
+        self.blocks: List[Block] = []
+        for centre in self.block_centres:
+            m = cube_filter(xyz, centre, block_size + 2 * buffer_size)
+            bxyz, brgb = xyz[m], rgb[m]
+            coords, data = voxelize_host(
+                bxyz, np.concatenate([bxyz, brgb], axis=1), voxel_size
+            )
+            interior = cube_filter(data[:, :3], centre, block_size)
+            shape = tuple(int(v) + 1 for v in coords.max(axis=0))
+            self.blocks.append(Block(coords, data, interior, shape))
+
+    def __len__(self):
+        return len(self.blocks)
+
+    def batches(self, batch_size: int = 4) -> Iterator[VoxelBatch]:
+        """Greedy size-bucketed batches: blocks sorted by voxel count, so
+        batch capacities (next pow2 of the sum) repeat across batches and
+        jit re-compiles only per distinct (capacity, spatial bucket)."""
+        order = np.argsort([len(b.coords) for b in self.blocks])
+        for start in range(0, len(order), batch_size):
+            chunk = [self.blocks[i] for i in order[start : start + batch_size]]
+            yield collate_blocks(chunk, batch_size, self.grid_shape)
+
+
+def collate_blocks(
+    blocks: List[Block], batch_size: int, grid_shape: Tuple[int, int, int]
+) -> VoxelBatch:
+    total = sum(len(b.coords) for b in blocks)
+    cap = _ceil_pow2(total)
+    coords = np.full((cap, 4), -1, np.int32)
+    feats = np.zeros((cap, blocks[0].feats.shape[1]), np.float32)
+    mask = np.zeros(cap, bool)
+    valid = np.zeros(cap, bool)
+    row = 0
+    for b, blk in enumerate(blocks):
+        n = len(blk.coords)
+        coords[row : row + n, 0] = b
+        coords[row : row + n, 1:] = blk.coords
+        feats[row : row + n] = blk.feats
+        mask[row : row + n] = blk.interior
+        valid[row : row + n] = True
+        row += n
+    return VoxelBatch(
+        feats=feats,
+        targets=None,
+        coords=coords,
+        mask=mask,
+        valid=valid,
+        spatial_shape=grid_shape,
+        batch_size=batch_size,  # static even for a short last batch
+        filenames=(),
+    )

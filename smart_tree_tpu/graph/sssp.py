@@ -65,11 +65,31 @@ def sssp(
 
     dist, _ = jax.lax.while_loop(cond, body, (dist0, jnp.bool_(True)))
 
-    # Predecessor extraction: after convergence dist[v] == dist[u*] + w for
-    # the relaxation winner u*, bit-exact (the final min produced it).
+    # Predecessor extraction. At the fixpoint dist[v] == fl(dist[u*] + w)
+    # for a relaxation winner u*, but bit-exact matching is brittle: when
+    # two points sit within one float32 ulp, parallel edge copies (the KNN
+    # graph stores (i,j) and (j,i) with independently-rounded weights) can
+    # leave a vertex whose only exact match violates the tie-break. Use a
+    # small tolerance instead; the acyclicity guard (strict dist decrease,
+    # or exact-equal dist broken by vertex id) keeps the forest cycle-free —
+    # any cycle would need zero total decrease, forcing all-equal dists and
+    # strictly increasing ids, a contradiction. Self-loops are excluded
+    # (the KNN graph contains (i,i) at weight 0).
     pred = jnp.full((n,), -1, jnp.int32)
-    hit_v = edge_valid & (dist[u] + w == dist[v]) & jnp.isfinite(dist[v])
-    hit_u = edge_valid & (dist[v] + w == dist[u]) & jnp.isfinite(dist[u])
+    ne = edge_valid & (u != v)
+
+    def _hit(src, dst):
+        # abs term covers duplicate-point clusters whose minimum member must
+        # exit via a near-tie outside edge; 1e-5 m is geometrically nil
+        tol = 1e-5 * jnp.abs(dist[dst]) + 1e-5
+        near = dist[src] + w <= dist[dst] + tol
+        acyclic = (dist[src] < dist[dst]) | (
+            (dist[src] == dist[dst]) & (src < dst)
+        )
+        return ne & near & acyclic & jnp.isfinite(dist[dst])
+
+    hit_v = _hit(u, v)
+    hit_u = _hit(v, u)
     big = jnp.int32(n)
     cand = jnp.full((n,), big, jnp.int32)
     cand = cand.at[jnp.where(hit_v, v, 0)].min(jnp.where(hit_v, u, big))

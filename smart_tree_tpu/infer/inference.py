@@ -1,0 +1,212 @@
+"""Model inference: block-tiled, bucketed, fully-jitted forward.
+
+Rebuild of reference smart_tree/model/model_inference.py:22-112. Differences
+by design (TPU-first):
+  - voxel-tensor construction (sort), rulebook building, and the UNet
+    forward all run under ONE jit per (capacity, spatial-bucket) — the
+    reference pays a host<->device round trip per batch;
+  - blocks are bucketed by voxel count so compilation is amortized;
+  - matmul precision is configurable: 'float32' for checkpoint parity,
+    'bfloat16' (MXU native) for speed.
+
+Weights: .npz produced by nn/convert.py (tools/convert_checkpoint.py turns
+the reference's torch checkpoints into this), or a torch .pt state_dict
+converted on the fly when torch is importable.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.plan import build_plan
+from ..core.sparse_tensor import SparseVoxelTensor
+from ..data.cloud import Cloud
+from ..data.dataset import BlockTiler, VoxelBatch
+from ..nn.model import SmartTree
+
+
+def load_variables(weights_path) -> Dict:
+    weights_path = Path(weights_path)
+    if weights_path.suffix == ".npz":
+        from ..nn.convert import load_npz
+
+        return load_npz(weights_path)
+    if weights_path.suffix == ".pt":
+        from ..nn.convert import convert_state_dict, load_torch_weights
+
+        sd = load_torch_weights(weights_path)
+        model = model_from_state_dict_shapes(sd)
+        template = init_template(model)
+        return convert_state_dict(sd, template)
+    raise ValueError(f"unsupported weights format: {weights_path}")
+
+
+def model_from_variables(variables: Dict) -> SmartTree:
+    """Recover hyperparameters from converted weight shapes."""
+    p = variables["params"]
+    planes = []
+    node = p["UNet"]
+    while True:
+        planes.append(node["Head"]["sequence.0"]["weight"].shape[1])
+        if "U" not in node:
+            break
+        node = node["U"]
+    def head_planes(h):
+        # SparseFC conv weights are flat leaf keys "sequence.<i>.weight"
+        # shaped [1, Cin, Cout]; BN params are nested "sequence.<i>" dicts.
+        seq = p[h]
+        idxs = sorted(
+            int(k.split(".")[1])
+            for k in seq
+            if isinstance(k, str) and k.endswith(".weight")
+        )
+        pl = [int(seq[f"sequence.{idxs[0]}.weight"].shape[1])]
+        for i in idxs:
+            pl.append(int(seq[f"sequence.{i}.weight"].shape[2]))
+        return tuple(pl)
+    input_ch = p["input_conv.sequence"]["0"]["weight"].shape[1]
+    return SmartTree(
+        input_channels=int(input_ch),
+        unet_planes=tuple(int(x) for x in planes),
+        radius_fc_planes=head_planes("radius_head"),
+        direction_fc_planes=head_planes("direction_head"),
+        class_fc_planes=head_planes("class_head"),
+    )
+
+
+def model_from_state_dict_shapes(sd) -> SmartTree:
+    planes = []
+    prefix = "UNet."
+    while True:
+        planes.append(int(sd[prefix + "Head.sequence.0.weight"].shape[0]))
+        if prefix + "U.Head.sequence.0.weight" not in sd:
+            break
+        prefix += "U."
+    def head_planes(h):
+        idxs = sorted(
+            int(k.split(".")[2])
+            for k in sd
+            if k.startswith(h + ".sequence.") and k.endswith(".weight")
+            and sd[k].ndim == 5
+        )
+        pl = [int(sd[f"{h}.sequence.{idxs[0]}.weight"].shape[-1])]
+        for i in idxs:
+            pl.append(int(sd[f"{h}.sequence.{i}.weight"].shape[0]))
+        return tuple(pl)
+    return SmartTree(
+        input_channels=int(sd["input_conv.sequence.0.weight"].shape[-1]),
+        unet_planes=tuple(planes),
+        radius_fc_planes=head_planes("radius_head"),
+        direction_fc_planes=head_planes("direction_head"),
+        class_fc_planes=head_planes("class_head"),
+    )
+
+
+def init_template(model: SmartTree):
+    """Tiny init to create the flax variables template (for conversion and
+    for fresh training)."""
+    coords = np.array([[0, 1, 1, 1], [0, 1, 1, 2], [0, 2, 2, 2], [0, 3, 3, 3]], np.int32)
+    feats = np.zeros((4, model.input_channels), np.float32)
+    x = SparseVoxelTensor.from_coords(
+        jnp.asarray(coords), jnp.asarray(feats), (16, 16, 16), 1
+    )
+    plan = build_plan(x, len(model.unet_planes), min_capacity=4)
+    return model.init(jax.random.PRNGKey(0), plan, x.feats, train=False)
+
+
+class ModelInference:
+    def __init__(
+        self,
+        weights_path: str | Path,
+        voxel_size: float = 0.01,
+        block_size: float = 4.0,
+        buffer_size: float = 0.4,
+        batch_size: int = 4,
+        precision: str = "float32",
+        model_path: str | Path | None = None,  # reference-config compat (unused)
+        num_workers: int = 0,  # reference-config compat (unused)
+        level_capacity_factor: float = 1.0,
+    ):
+        self.voxel_size = voxel_size
+        self.block_size = block_size
+        self.buffer_size = buffer_size
+        self.batch_size = batch_size
+        self.precision = precision
+        self.level_capacity_factor = level_capacity_factor
+        self.variables = load_variables(weights_path)
+        self.model = model_from_variables(self.variables)
+
+    @functools.lru_cache(maxsize=64)
+    def _compiled(self, capacity: int, spatial_shape: Tuple[int, int, int], batch: int):
+        model = self.model
+        factor = self.level_capacity_factor
+        levels = len(model.unet_planes)
+
+        @jax.jit
+        def run(variables, coords, feats, valid):
+            with jax.default_matmul_precision(self.precision):
+                x = SparseVoxelTensor.from_coords(
+                    coords, feats, spatial_shape, batch, valid=valid
+                )
+                plan = build_plan(x, levels, level_capacity_factor=factor)
+                preds = model.apply(variables, plan, x.feats[:, :3], train=False)
+                # carry the permuted xyz/rgb + masks out so the host can
+                # assemble the labelled cloud without knowing the sort order;
+                # counts vs capacities let it detect level-buffer overflow
+                counts = jnp.stack([lv.count for lv in plan.levels])
+                caps = jnp.asarray([lv.keys.shape[0] for lv in plan.levels])
+                return preds, x.feats, x.active, counts, caps
+
+        return run
+
+    def forward(self, cloud: Cloud, return_masked: bool = True) -> Cloud:
+        tiler = BlockTiler(
+            cloud.host(),
+            self.voxel_size,
+            self.block_size,
+            self.buffer_size,
+        )
+        out_xyzrgb, out_radius, out_dir, out_class = [], [], [], []
+        for vb in tiler.batches(self.batch_size):
+            run = self._compiled(len(vb.coords), vb.spatial_shape, vb.batch_size)
+            # permute the interior mask identically to the tensor sort: append
+            # it as an extra feature column
+            feats = np.concatenate(
+                [vb.feats, vb.mask[:, None].astype(np.float32)], axis=1
+            )
+            preds, sorted_feats, active, counts, caps = run(
+                self.variables,
+                jnp.asarray(vb.coords),
+                jnp.asarray(feats),
+                jnp.asarray(vb.valid),
+            )
+            if bool(np.any(np.asarray(counts) > np.asarray(caps))):
+                raise RuntimeError(
+                    f"UNet level buffer overflow (counts {np.asarray(counts)} "
+                    f"vs capacities {np.asarray(caps)}); raise "
+                    "level_capacity_factor"
+                )
+            keep = np.asarray(active) & (np.asarray(sorted_feats[:, -1]) > 0.5)
+            out_xyzrgb.append(np.asarray(sorted_feats[:, :6])[keep])
+            out_radius.append(np.asarray(preds["radius"])[keep])
+            out_dir.append(np.asarray(preds["direction"])[keep])
+            out_class.append(np.asarray(preds["class_l"])[keep])
+
+        xyzrgb = np.concatenate(out_xyzrgb)
+        radius = np.concatenate(out_radius)
+        direction = np.concatenate(out_dir)
+        class_l = np.concatenate(out_class)
+        medial_vector = np.exp(radius) * direction
+        return Cloud(
+            xyz=xyzrgb[:, :3],
+            rgb=xyzrgb[:, 3:6],
+            medial_vector=medial_vector,
+            class_l=np.argmax(class_l, axis=1, keepdims=True).astype(np.float32),
+            filename=cloud.filename,
+        )

@@ -91,7 +91,23 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
     _, (dists, idxs) = jax.lax.scan(src_tile_body, None, (tiles_s, tiles_v))
     dists = dists.reshape(n_pad, k)[:n]
     idxs = idxs.reshape(n_pad, k)[:n]
-    return jnp.sqrt(dists), idxs
+
+    # The |s|^2+|d|^2-2s.d formulation suffers catastrophic cancellation for
+    # nearby points (errors ~ulp(|s|^2) — every sub-mm distance at metre
+    # coordinates collapses to 0). Selection only needs ordering, but graph
+    # edge WEIGHTS need accuracy: recompute the K selected pairs exactly,
+    # re-sort, and re-apply the radius gate.
+    safe = jnp.maximum(idxs, 0)
+    diff = src[:, None, :] - dst[safe]  # [N,K,3]
+    d2 = jnp.sum(diff * diff, axis=2)
+    d2 = jnp.where(idxs >= 0, d2, big)
+    order2 = jnp.argsort(d2, axis=1)
+    d2 = jnp.take_along_axis(d2, order2, axis=1)
+    idxs = jnp.take_along_axis(idxs, order2, axis=1)
+    ok = (d2 <= r2) & (idxs >= 0)
+    idxs = jnp.where(ok, idxs, -1)
+    d2 = jnp.where(ok, d2, big)
+    return jnp.sqrt(d2), idxs
 
 
 def knn(

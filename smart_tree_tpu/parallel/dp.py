@@ -1,0 +1,165 @@
+"""Data-parallel training step over a device mesh.
+
+The model is ~150k params, so the faithful and sufficient TPU mapping
+(SURVEY.md §2.3) is pure DP: each device owns a full replica plus its own
+padded voxel sub-batch; shard_map runs the single-device forward/backward
+per shard and psums gradients, losses, and batch-norm statistics over the
+'dp' axis (the BN sync makes multi-chip training match large-batch
+single-chip training — stronger than the reference's single-GPU BN).
+
+Batches are shaped [n_dev, cap, ...] and sharded on axis 0; every device
+sub-batch shares one static spatial shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.plan import build_plan
+from ..core.sparse_tensor import SparseVoxelTensor
+from ..train.losses import compute_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_dp_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    spatial_shape: Tuple[int, int, int],
+    device_batch: int,
+    mesh: Mesh,
+    axis: str = "dp",
+    vector_class: int | None = 0,
+    compute_dtype=jnp.float32,
+):
+    """Build the jitted DP train step.
+
+    Batch arrays: coords [D, cap, 4], feats [D, cap, Ci], targets
+    [D, cap, 5], mask/valid [D, cap] — axis 0 sharded over the mesh.
+    """
+    levels = len(model.unet_planes)
+
+    def per_shard(params, batch_stats, opt_state, coords, feats, targets, mask, valid):
+        # shard_map gives each device its [1, cap, ...] slice; drop the axis
+        coords, feats, targets = coords[0], feats[0], targets[0]
+        mask, valid = mask[0], valid[0]
+
+        def loss_fn(p):
+            x = SparseVoxelTensor.from_coords(
+                coords, feats.astype(compute_dtype), spatial_shape, device_batch,
+                valid=valid,
+            )
+            plan = build_plan(x, levels)
+            # targets/mask must ride the same sort as the features: pack them
+            # as extra feature columns through from_coords
+            xt = SparseVoxelTensor.from_coords(
+                coords,
+                jnp.concatenate(
+                    [targets, mask[:, None].astype(jnp.float32)], axis=1
+                ),
+                spatial_shape,
+                device_batch,
+                valid=valid,
+            )
+            t_sorted = xt.feats[:, :-1]
+            m_sorted = (xt.feats[:, -1] > 0.5) & xt.active
+            preds, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                plan,
+                x.feats,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            losses = compute_loss(preds, t_sorted, m_sorted, vector_class=vector_class)
+            total = sum(losses.values())
+            return total, (losses, updates["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads = jax.lax.pmean(grads, axis)
+        losses = jax.lax.pmean(losses, axis)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, losses
+
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, coords, feats, targets, mask, valid):
+        params, stats, opt, losses = sharded(
+            state.params, state.batch_stats, state.opt_state,
+            coords, feats, targets, mask, valid,
+        )
+        return TrainState(params, stats, opt, state.step + 1), losses
+
+    return train_step
+
+
+def make_dp_eval_step(
+    model,
+    spatial_shape: Tuple[int, int, int],
+    device_batch: int,
+    mesh: Mesh,
+    axis: str = "dp",
+    vector_class: int | None = 0,
+):
+    levels = len(model.unet_planes)
+
+    def per_shard(params, batch_stats, coords, feats, targets, mask, valid):
+        coords, feats, targets = coords[0], feats[0], targets[0]
+        mask, valid = mask[0], valid[0]
+        x = SparseVoxelTensor.from_coords(
+            coords, feats, spatial_shape, device_batch, valid=valid
+        )
+        plan = build_plan(x, levels)
+        xt = SparseVoxelTensor.from_coords(
+            coords,
+            jnp.concatenate([targets, mask[:, None].astype(jnp.float32)], axis=1),
+            spatial_shape,
+            device_batch,
+            valid=valid,
+        )
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats}, plan, x.feats, train=False
+        )
+        losses = compute_loss(
+            preds,
+            xt.feats[:, :-1],
+            (xt.feats[:, -1] > 0.5) & xt.active,
+            vector_class=vector_class,
+        )
+        return jax.lax.pmean(losses, axis)
+
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def eval_step(state: TrainState, coords, feats, targets, mask, valid):
+        return sharded(
+            state.params, state.batch_stats, coords, feats, targets, mask, valid
+        )
+
+    return eval_step

@@ -1,21 +1,29 @@
 """Greedy branch extraction (reference smart_tree/skeleton/path.py:9-140).
 
 The reference's `sample_tree` is a Python loop with a per-hop GPU sync in
-`trace_route` (`idx not in termination_pts`, O(N) per hop) and an FRNN query
-per branch. Here:
+`trace_route` (`idx not in termination_pts` is O(N) per hop) plus an FRNN
+query per branch. Here the ENTIRE greedy loop runs on device as one jitted
+`lax.while_loop` — trace, point selection, and state updates included — and
+the host pulls the packed result once:
 
-  - trace_route is a device-side lax.while_loop over a static hop-capped
-    buffer, with an O(1) allocated-mask lookup per hop (SURVEY.md §7 notes
-    this is semantically identical and the right fix);
-  - select_path_points is one masked K=1 KNN against the padded path buffer;
-  - the outer loop stays on host (one small sync per branch — branches
-    number in the hundreds), with all heavy state on device.
+  - each vertex belongs to at most one branch *path*, so paths are encoded
+    in-place as (path_branch[v], path_pos[v]) instead of a [branches, cap]
+    buffer — total memory O(N);
+  - select_path_points is a masked K=1 KNN against the hop-capped path
+    buffer (MXU distance tiles);
+  - zero host<->device round trips per branch, which is what makes
+    skeletonization latency-bound designs fall over on real interconnects.
+
+Reference semantics preserved (path.py:49-140): vertices with pred <= 0 are
+never seeds (`selection_mask = preds > 0`, vertex-0 quirk included); paths
+shorter than 2 vertices allocate points but emit no branch; parent_id is
+the branch owning the termination vertex (-1 for the first branch).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -23,16 +31,22 @@ import numpy as np
 
 from ..data.branch import BranchSkeleton
 from ..neighbors import knn
+from ..neighbors.knn import _knn_impl
+
+
+class SampleTreeResult(NamedTuple):
+    path_branch: jax.Array    # [N] int32 branch id whose path contains v (-1)
+    path_pos: jax.Array       # [N] int32 position of v along its path
+    branch_ids: jax.Array     # [N] int32 owning branch per allocated vertex
+    branch_parents: jax.Array  # [maxB] int32 parent branch id
+    branch_count: jax.Array   # scalar int32
 
 
 @partial(jax.jit, static_argnames=("hop_cap",))
 def trace_route(preds, start, allocated, hop_cap: int):
     """Hop predecessors from `start` until reaching an allocated vertex or
-    the root (-1 pred), collecting the path root-side-first.
-
-    Returns (path [hop_cap] int32 — padded with -1, ordered from the
-    termination side to the leaf like the reference's flip, path_len,
-    termination_idx int32: the allocated vertex reached, or -1)."""
+    the root (-1 pred). Returns (path [hop_cap] int32, root-side first,
+    -1 padded; length; termination vertex or -1)."""
     buf0 = jnp.full((hop_cap,), -1, jnp.int32)
 
     def cond(state):
@@ -46,7 +60,6 @@ def trace_route(preds, start, allocated, hop_cap: int):
         return i + 1, preds[idx], buf
 
     length, term, buf = jax.lax.while_loop(cond, body, (0, start, buf0))
-    # flip to root-side-first order (reference path.py:16 .flip(0))
     j = jnp.arange(hop_cap)
     src = length - 1 - j
     path = jnp.where(src >= 0, buf[jnp.maximum(src, 0)], -1)
@@ -58,98 +71,132 @@ def select_path_points(points, points_valid, path_pts, path_radii, path_valid):
     """Mask of points whose nearest path vertex is within that vertex's
     radius (reference path.py:19-46)."""
     r_max = jnp.max(jnp.where(path_valid, path_radii, 0.0))
-    d, i = knn(
-        points, path_pts, 1, r_max, src_valid=points_valid, dst_valid=path_valid
-    )
+    d, i = _knn_impl(points, path_pts, points_valid, path_valid, r_max**2, 1)
     d, i = d[:, 0], i[:, 0]
     return (i >= 0) & (d < path_radii[jnp.maximum(i, 0)])
 
 
-@partial(jax.jit, static_argnames=("hop_cap",))
-def _branch_step(medial_pts, medial_radii, preds, distances, allocated, branch_ids,
-                 hop_cap: int, branch_id):
-    """One greedy iteration fused on device. Returns updated state plus the
-    path and bookkeeping scalars the host needs."""
-    farthest = jnp.argmax(distances).astype(jnp.int32)
-    far_dist = distances[farthest]
+@partial(jax.jit, static_argnames=("hop_cap", "max_branches"))
+def sample_tree_device(
+    medial_pts: jax.Array,
+    medial_radii: jax.Array,
+    preds: jax.Array,
+    distances: jax.Array,
+    component_mask: jax.Array,
+    hop_cap: int = 2048,
+    max_branches: int = 4096,
+) -> SampleTreeResult:
+    n = medial_pts.shape[0]
+    radii = medial_radii.reshape(-1)
+    dist0 = jnp.where((preds > 0) & component_mask, distances, -1.0)
+    dist0 = jnp.where(jnp.isfinite(dist0), dist0, -1.0)
 
-    path, length, term = trace_route(preds, farthest, allocated, hop_cap)
-    pvalid = path >= 0
-    psafe = jnp.maximum(path, 0)
-    path_pts = medial_pts[psafe]
-    path_radii = jnp.where(pvalid, medial_radii[psafe], 0.0)
+    class _S(NamedTuple):
+        dist: jax.Array
+        allocated: jax.Array
+        branch_ids: jax.Array
+        path_branch: jax.Array
+        path_pos: jax.Array
+        parents: jax.Array
+        count: jax.Array
 
-    on_path_pts = select_path_points(
-        medial_pts, distances >= 0, path_pts, path_radii, pvalid
+    init = _S(
+        dist=dist0,
+        allocated=jnp.zeros((n,), bool),
+        branch_ids=jnp.full((n,), -1, jnp.int32),
+        path_branch=jnp.full((n,), -1, jnp.int32),
+        path_pos=jnp.full((n,), -1, jnp.int32),
+        parents=jnp.full((max_branches,), -1, jnp.int32),
+        count=jnp.zeros((), jnp.int32),
     )
 
-    make_branch = length >= 2
-    # mark allocated: nearby points + path vertices
-    new_alloc = allocated | on_path_pts
-    new_alloc = new_alloc.at[psafe].set(jnp.where(pvalid, True, new_alloc[psafe]))
-    new_dist = jnp.where(on_path_pts, -1.0, distances)
-    new_dist = new_dist.at[psafe].set(jnp.where(pvalid, -1.0, new_dist[psafe]))
+    def cond(s: _S):
+        return (jnp.max(s.dist) > 0) & (s.count < max_branches)
 
-    parent_id = jnp.where(term >= 0, branch_ids[jnp.maximum(term, 0)], -1)
-    bid_write = jnp.where(make_branch, branch_id, -1)
-    new_bids = jnp.where(make_branch & on_path_pts, bid_write, branch_ids)
-    new_bids = new_bids.at[psafe].set(
-        jnp.where(pvalid & make_branch, bid_write, new_bids[psafe])
-    )
-    return (
-        new_dist, new_alloc, new_bids,
-        path, length, term, parent_id, far_dist, make_branch,
+    def body(s: _S):
+        farthest = jnp.argmax(s.dist).astype(jnp.int32)
+        path, length, term = trace_route(preds, farthest, s.allocated, hop_cap)
+        pvalid = path >= 0
+        psafe = jnp.maximum(path, 0)
+        path_pts = medial_pts[psafe]
+        path_radii = jnp.where(pvalid, radii[psafe], 0.0)
+
+        on_path = select_path_points(
+            medial_pts, s.dist >= 0, path_pts, path_radii, pvalid
+        )
+
+        make_branch = length >= 2
+        bid = s.count
+        parent = jnp.where(term >= 0, s.branch_ids[jnp.maximum(term, 0)], -1)
+
+        allocated = s.allocated | on_path
+        allocated = allocated.at[psafe].set(pvalid | allocated[psafe])
+        dist = jnp.where(on_path, -1.0, s.dist)
+        dist = dist.at[psafe].set(jnp.where(pvalid, -1.0, dist[psafe]))
+
+        wid = jnp.where(make_branch, bid, -1)
+        branch_ids = jnp.where(make_branch & on_path, wid, s.branch_ids)
+        branch_ids = branch_ids.at[psafe].set(
+            jnp.where(pvalid & make_branch, wid, branch_ids[psafe])
+        )
+        path_branch = s.path_branch.at[psafe].set(
+            jnp.where(pvalid & make_branch, wid, s.path_branch[psafe])
+        )
+        pos = jnp.arange(hop_cap, dtype=jnp.int32)
+        path_pos = s.path_pos.at[psafe].set(
+            jnp.where(pvalid & make_branch, pos, s.path_pos[psafe])
+        )
+        parents = s.parents.at[jnp.maximum(bid, 0)].set(
+            jnp.where(make_branch, parent, s.parents[jnp.maximum(bid, 0)])
+        )
+        count = s.count + make_branch.astype(jnp.int32)
+        return _S(dist, allocated, branch_ids, path_branch, path_pos, parents, count)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SampleTreeResult(
+        path_branch=out.path_branch,
+        path_pos=out.path_pos,
+        branch_ids=out.branch_ids,
+        branch_parents=out.parents,
+        branch_count=out.count,
     )
 
 
 def sample_tree(
-    medial_pts: np.ndarray | jax.Array,
-    medial_radii: np.ndarray | jax.Array,
-    preds: jax.Array,
-    distances: jax.Array,
-    component_mask: jax.Array,
-    hop_cap: int = 4096,
-    max_branches: int = 10000,
-    start_branch_id: int = 0,
+    medial_pts,
+    medial_radii,
+    preds,
+    distances,
+    component_mask,
+    hop_cap: int = 2048,
+    max_branches: int = 4096,
 ) -> Dict[int, BranchSkeleton]:
-    """Greedy farthest-first branch allocation for one component.
-
-    distances: root distances along the predecessor tree (tree_distances).
-    Semantics of the reference (path.py:49-140) preserved: vertices with
-    pred <= 0 are never selected as a farthest seed (`selection_mask =
-    preds > 0`, including its vertex-0 quirk); paths shorter than 2
-    vertices allocate points but emit no branch; parent_id is the branch
-    owning the termination vertex (-1 for the first branch).
-    """
-    medial_pts = jnp.asarray(medial_pts)
-    medial_radii = jnp.asarray(medial_radii).reshape(-1)
-    n = medial_pts.shape[0]
-    distances = jnp.where((preds > 0) & component_mask, distances, -1.0)
-    distances = jnp.where(jnp.isfinite(distances), distances, -1.0)
-    allocated = jnp.zeros((n,), bool)
-    branch_ids = jnp.full((n,), -1, jnp.int32)
+    """Host wrapper: run the device loop, pull once, assemble branches."""
+    medial_pts = jnp.asarray(medial_pts, jnp.float32)
+    radii = jnp.asarray(medial_radii, jnp.float32).reshape(-1)
+    res = sample_tree_device(
+        medial_pts, radii, jnp.asarray(preds), jnp.asarray(distances),
+        jnp.asarray(component_mask), hop_cap, max_branches,
+    )
+    path_branch = np.asarray(res.path_branch)
+    path_pos = np.asarray(res.path_pos)
+    parents = np.asarray(res.branch_parents)
+    count = int(res.branch_count)
+    pts = np.asarray(medial_pts)
+    rad = np.asarray(radii)
 
     branches: Dict[int, BranchSkeleton] = {}
-    branch_id = start_branch_id
-    host_medial = np.asarray(medial_pts)
-    host_radii = np.asarray(medial_radii)
-
-    for _ in range(max_branches):
-        (distances, allocated, branch_ids, path, length, term, parent_id,
-         far_dist, make_branch) = _branch_step(
-            medial_pts, medial_radii, preds, distances, allocated, branch_ids,
-            hop_cap, jnp.int32(branch_id),
+    member = path_branch >= 0
+    order = np.lexsort((path_pos[member], path_branch[member]))
+    verts = np.nonzero(member)[0][order]
+    bids = path_branch[member][order]
+    starts = np.searchsorted(bids, np.arange(count))
+    ends = np.searchsorted(bids, np.arange(count), side="right")
+    for b in range(count):
+        v = verts[starts[b] : ends[b]]
+        if len(v) < 2:
+            continue
+        branches[b] = BranchSkeleton(
+            b, int(parents[b]), pts[v], rad[v].reshape(-1, 1)
         )
-        if float(far_dist) <= 0:
-            break
-        if bool(make_branch):
-            plen = int(length)
-            pidx = np.asarray(path[:plen])
-            branches[branch_id] = BranchSkeleton(
-                branch_id,
-                int(parent_id),
-                host_medial[pidx],
-                host_radii[pidx].reshape(-1, 1),
-            )
-            branch_id += 1
     return branches

@@ -18,6 +18,7 @@ Stages (parity with skeletonize.py:31-95):
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import List
 
@@ -32,6 +33,8 @@ from .filter import outlier_removal
 from .graph import nn_graph
 from .path import sample_tree
 
+log = logging.getLogger(__name__)
+
 
 @dataclass
 class Skeletonizer:
@@ -40,6 +43,7 @@ class Skeletonizer:
     minimum_graph_vertices: int = 32
     hop_cap: int = 4096
     max_components: int = 64
+    max_branches: int = 1024
 
     def forward(self, cloud: Cloud) -> DisjointTreeSkeleton:
         cloud = cloud.device()
@@ -49,6 +53,8 @@ class Skeletonizer:
         n = medial_pts.shape[0]
 
         keep = outlier_removal(medial_pts, radii, nb_points=8)
+        log.info("skeletonize: %d medial pts, %d after outlier removal",
+                 n, int(keep.sum()))
 
         graph = nn_graph(
             medial_pts,
@@ -90,6 +96,11 @@ class Skeletonizer:
                 root_dist,
                 comp_mask,
                 hop_cap=self.hop_cap,
+                max_branches=self.max_branches,
+            )
+            log.info(
+                "component %d: %d vertices -> %d branches",
+                skeleton_id, int(sizes_np[comp]), len(branches),
             )
             if branches:
                 skeletons.append(TreeSkeleton(skeleton_id, branches))

@@ -1,0 +1,199 @@
+"""`train-smart-tree` — training entry point.
+
+Rebuild of reference smart_tree/model/train.py:166-263 with the same config
+surface (conf/training.yaml) and behavior — epoch loop, val/test eval,
+ReduceLROnPlateau on val loss, best-weights save, early stop — plus the
+things the reference lacks (SURVEY.md §5): full checkpoint/RESUME (params +
+opt state + scheduler + epoch), bf16 compute option, and data-parallel
+training over every available device via shard_map (single chip is just a
+1-device mesh).
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import TreeDataset, collate
+from ..infer.inference import init_template
+from ..nn.convert import load_npz, save_npz
+from ..nn.model import SmartTree
+from ..parallel.dp import TrainState, make_dp_eval_step, make_dp_train_step
+from ..parallel.mesh import make_mesh
+from ..utils.configs import compose, default_conf_dir, instantiate
+from .schedule import ReduceLROnPlateau
+from .tracker import MetricsSink, Tracker
+
+log = logging.getLogger("smart_tree_tpu.train")
+
+
+def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True):
+    """Yield [n_dev, cap, ...] stacked arrays; each device sub-batch holds
+    batch_size/n_dev items collated to the shared static capacity."""
+    per_dev_items = max(cfg["batch_size"] // n_dev, 1)
+    cap = int(cfg["batch_capacity"])
+    items_iter = dataset.batches  # not used; manual grouping below
+    order = np.arange(len(dataset))
+    if shuffle:
+        dataset.rng.shuffle(order)
+    group = per_dev_items * n_dev
+    for start in range(0, len(order) - group + 1, group):
+        idxs = order[start : start + group]
+        subs = []
+        for d in range(n_dev):
+            items = [dataset.item(i) for i in idxs[d * per_dev_items : (d + 1) * per_dev_items]]
+            vb = collate(items, per_dev_items, capacity=cap)
+            subs.append(vb)
+        yield (
+            np.stack([s.coords for s in subs]),
+            np.stack([s.feats for s in subs]),
+            np.stack([s.targets for s in subs]),
+            np.stack([s.mask for s in subs]),
+            np.stack([s.valid for s in subs]),
+        )
+
+
+def run_epoch(step_fn, state, dataset, cfg, n_dev, spatial, train: bool):
+    tracker = Tracker()
+    for batch in _device_batches(dataset, cfg, n_dev, spatial, shuffle=train):
+        arrs = tuple(jnp.asarray(a) for a in batch)
+        if train:
+            state, losses = step_fn(state, *arrs)
+        else:
+            losses = step_fn(state, *arrs)
+        tracker.update({k: float(v) for k, v in losses.items()})
+    return state, tracker
+
+
+def save_checkpoint(path: Path, state: TrainState, scheduler, epoch: int, best: float):
+    path.mkdir(parents=True, exist_ok=True)
+    save_npz(path / "variables.npz", {
+        "params": jax.tree.map(np.asarray, state.params),
+        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+    })
+    with open(path / "train_state.pkl", "wb") as f:
+        pickle.dump(
+            {
+                "opt_state": jax.tree.map(np.asarray, state.opt_state),
+                "scheduler": scheduler.state_dict(),
+                "epoch": epoch,
+                "best": best,
+                "step": int(state.step),
+            },
+            f,
+        )
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config = default_conf_dir() / "training.yaml"
+    overrides = []
+    for a in argv:
+        if a.startswith("--config="):
+            config = Path(a.split("=", 1)[1])
+        else:
+            overrides.append(a)
+    cfg = compose(config, overrides)
+
+    sink = MetricsSink(**cfg.get("wandb", {}))
+    np.random.seed(cfg.get("seed", 1))
+
+    train_ds: TreeDataset = instantiate(cfg["train_dataset"])
+    val_ds: TreeDataset = instantiate(cfg["validation_dataset"])
+    test_ds: TreeDataset = instantiate(cfg["test_dataset"])
+    log.info("datasets: train=%d val=%d test=%d", len(train_ds), len(val_ds), len(test_ds))
+
+    model = SmartTree(
+        input_channels=cfg["model"]["input_channels"],
+        unet_planes=tuple(cfg["model"]["unet_planes"]),
+        radius_fc_planes=tuple(cfg["model"]["radius_fc_planes"]),
+        direction_fc_planes=tuple(cfg["model"]["direction_fc_planes"]),
+        class_fc_planes=tuple(cfg["model"]["class_fc_planes"]),
+        bn_axis_name="dp",
+    )
+    variables = init_template(model)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    spatial = tuple(cfg["spatial_shape"])
+    per_dev_items = max(cfg["batch_size"] // n_dev, 1)
+
+    scheduler = ReduceLROnPlateau(lr=cfg["lr"])
+    lr_holder = {"lr": cfg["lr"]}
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=cfg["lr"])
+
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    out_dir = Path(cfg.get("output_dir", "runs")) / sink.run_name
+    start_epoch = 0
+    best_val = float("inf")
+    resume = cfg.get("resume")
+    if resume:
+        ckpt = Path(resume)
+        v = load_npz(ckpt / "variables.npz")
+        with open(ckpt / "train_state.pkl", "rb") as f:
+            ts = pickle.load(f)
+        state = TrainState(v["params"], v["batch_stats"], ts["opt_state"],
+                           jnp.asarray(ts["step"], jnp.int32))
+        scheduler.load_state_dict(ts["scheduler"])
+        start_epoch = ts["epoch"] + 1
+        best_val = ts["best"]
+        log.info("resumed from %s at epoch %d", ckpt, start_epoch)
+
+    compute_dtype = jnp.bfloat16 if cfg.get("fp16", False) else jnp.float32
+    train_step = make_dp_train_step(
+        model, optimizer, spatial, per_dev_items, mesh, compute_dtype=compute_dtype
+    )
+    eval_step = make_dp_eval_step(model, spatial, per_dev_items, mesh)
+
+    epochs_no_improve = 0
+    for epoch in range(start_epoch, cfg["num_epoch"]):
+        t0 = time.time()
+        # propagate scheduler lr into the optimizer state
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            scheduler.lr, jnp.float32
+        )
+        state, tr = run_epoch(train_step, state, train_ds, cfg, n_dev, spatial, True)
+        tr.log("train", epoch, sink)
+        _, va = run_epoch(eval_step, state, val_ds, cfg, n_dev, spatial, False)
+        va.log("val", epoch, sink)
+        _, te = run_epoch(eval_step, state, test_ds, cfg, n_dev, spatial, False)
+        te.log("test", epoch, sink)
+
+        val_loss = va.total_loss
+        scheduler.step(val_loss)
+        if val_loss < best_val:
+            best_val = val_loss
+            epochs_no_improve = 0
+            save_checkpoint(out_dir, state, scheduler, epoch, best_val)
+            save_npz(out_dir / "best_weights.npz", {
+                "params": jax.tree.map(np.asarray, state.params),
+                "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            })
+            log.info("epoch %d: new best val %.4f -> %s", epoch, best_val, out_dir)
+        else:
+            epochs_no_improve += 1
+        log.info("epoch %d done in %.1fs (lr=%.2e)", epoch, time.time() - t0, scheduler.lr)
+
+        if cfg.get("early_stop", False) and epochs_no_improve >= cfg["early_stop_epoch"]:
+            log.info("early stop at epoch %d", epoch)
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -14,6 +14,13 @@ def random_graph(rng, n, e):
     edges = rng.integers(0, n, size=(e, 2)).astype(np.int32)
     weights = rng.uniform(0.1, 1.0, size=e).astype(np.float32)
     valid = rng.uniform(size=e) > 0.1
+    # drop duplicate undirected pairs: scipy's coo_matrix SUMS duplicates
+    # while parallel edges should take the min — not what we're testing
+    key = np.stack([edges.min(1), edges.max(1)], axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    dup = np.ones(e, bool)
+    dup[first] = False
+    valid = valid & ~dup
     return edges, weights, valid
 
 
@@ -65,13 +72,16 @@ def test_sssp_vs_scipy():
         np.where(np.isfinite(ref), ref, -1),
         rtol=1e-4, atol=1e-5,
     )
-    # predecessors: walking pred must reproduce dist
+    # predecessors: walking pred must reach the source (acyclic forest)
     assert pred[src] == -1
     for v in range(n):
         if np.isfinite(dist[v]) and v != src:
-            p = pred[v]
-            assert p >= 0
-            assert dist[p] <= dist[v]
+            p, hops = v, 0
+            while p != src:
+                p = pred[p]
+                hops += 1
+                assert p >= 0
+                assert hops <= n, f"pred cycle at vertex {v}"
 
 
 def test_tree_distances_pointer_doubling():

@@ -1,0 +1,69 @@
+"""Skeleton stage tests on synthetic data with exact medial ground truth —
+the skeletonizer should recover the branch structure when fed perfect
+predictions (segmentation IoU / topology parity per SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from smart_tree_tpu.data.synthetic import generate_tree
+from smart_tree_tpu.skeleton.filter import outlier_removal
+from smart_tree_tpu.skeleton.graph import nn_graph
+from smart_tree_tpu.skeleton.path import sample_tree, select_path_points, trace_route
+from smart_tree_tpu.skeleton.skeletonize import Skeletonizer
+
+
+def test_trace_route_follows_predecessors():
+    import jax.numpy as jnp
+
+    preds = jnp.asarray([-1, 0, 1, 2, 3], jnp.int32)
+    allocated = jnp.zeros(5, bool)
+    path, length, term = trace_route(preds, jnp.int32(4), allocated, 8)
+    assert int(length) == 5
+    np.testing.assert_array_equal(np.asarray(path[:5]), [0, 1, 2, 3, 4])
+    assert int(term) == -1
+    # stops at allocated vertices
+    allocated = allocated.at[1].set(True)
+    path, length, term = trace_route(preds, jnp.int32(4), allocated, 8)
+    assert int(length) == 3
+    np.testing.assert_array_equal(np.asarray(path[:3]), [2, 3, 4])
+    assert int(term) == 1
+
+
+def test_select_path_points_radius_gate():
+    import jax.numpy as jnp
+
+    pts = jnp.asarray([[0, 0, 0], [0.05, 0, 0], [1, 0, 0]], jnp.float32)
+    path_pts = jnp.asarray([[0, 0, 0], [0.5, 0, 0]], jnp.float32)
+    radii = jnp.asarray([0.1, 0.1], jnp.float32)
+    on = np.asarray(
+        select_path_points(
+            pts, jnp.ones(3, bool), path_pts, radii, jnp.ones(2, bool)
+        )
+    )
+    assert on.tolist() == [True, True, False]
+
+
+def test_skeletonizer_recovers_synthetic_tree():
+    cloud, gt_skel = generate_tree(
+        seed=3, height=4.0, trunk_radius=0.12, points_per_m2=4000.0, max_depth=2
+    )
+    sk = Skeletonizer(K=16, min_connection_length=0.02, minimum_graph_vertices=32,
+                      hop_cap=1024)
+    out = sk.forward(cloud.device())
+    assert len(out.skeletons) >= 1
+    main = out.skeletons[0]
+    assert len(main.branches) >= 2
+    # total skeleton length should be within 2x of ground truth
+    gt_len = gt_skel.length
+    got_len = main.length
+    assert got_len > 0.3 * gt_len
+    assert got_len < 3.0 * gt_len
+    # branch path points should lie near the ground-truth medial axis
+    gt_medial = np.asarray(cloud.medial_pts)
+    for b in list(main.branches.values())[:5]:
+        d = np.linalg.norm(gt_medial - b.xyz[len(b) // 2], axis=1).min()
+        assert d < 0.1, f"branch {b._id} far from gt medial axis ({d:.3f} m)"
+    # parent relationships are consistent
+    ids = set(main.branches.keys())
+    for b in main.branches.values():
+        assert b.parent_id == -1 or b.parent_id in ids or b.parent_id < max(ids)
