@@ -24,7 +24,7 @@ sys.path.insert(0, str(REPO))
 
 # measured once with --record-cpu-baseline on this machine's CPU backend
 # (reference-semantics workload, identical code path); see BASELINE.md
-CPU_BASELINE_POINTS_PER_SEC = 162_000.0
+CPU_BASELINE_POINTS_PER_SEC = 8_873.0
 
 
 def main() -> int:

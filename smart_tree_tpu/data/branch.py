@@ -20,8 +20,21 @@ class BranchSkeleton:
     child_id: Optional[int] = None
 
     def __post_init__(self):
-        self.xyz = np.asarray(self.xyz, np.float32).reshape(-1, 3)
-        self.radii = np.asarray(self.radii, np.float32).reshape(-1, 1)
+        # runtime shape contract — the reference enforces TensorType["N",3] /
+        # ["N",1] via torchtyping+typeguard (branch.py:17-22, the de-facto
+        # test layer per SURVEY.md §4); we validate explicitly
+        xyz = np.asarray(self.xyz, np.float32)
+        if xyz.ndim != 2 or xyz.shape[1] != 3:
+            raise TypeError(f"BranchSkeleton.xyz must be [N,3], got {xyz.shape}")
+        radii = np.asarray(self.radii, np.float32)
+        if radii.ndim == 1:
+            radii = radii[:, None]
+        if radii.ndim != 2 or radii.shape[1] != 1 or radii.shape[0] != xyz.shape[0]:
+            raise TypeError(
+                f"BranchSkeleton.radii must be [N,1] matching xyz, got {radii.shape}"
+            )
+        self.xyz = xyz
+        self.radii = radii
 
     def __len__(self):
         return self.xyz.shape[0]

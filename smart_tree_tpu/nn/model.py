@@ -50,10 +50,11 @@ class SmartTree(nn.Module):
         direction = SparseFC(
             tuple(self.direction_fc_planes), self.bn_axis_name, name="direction_head"
         )(x, mask, train)
-        # F.normalize semantics (model.py:84): v / max(|v|, 1e-12)
-        direction = direction / jnp.maximum(
-            jnp.linalg.norm(direction, axis=1, keepdims=True), 1e-12
-        )
+        # F.normalize semantics (model.py:84): v / max(|v|, 1e-12).
+        # rsqrt(max(n2, eps)) keeps the gradient finite at the exact-zero
+        # vectors padding rows produce (norm() has a 0/0 NaN grad there).
+        n2 = jnp.sum(jnp.square(direction), axis=1, keepdims=True)
+        direction = direction * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
         class_l = SparseFC(
             tuple(self.class_fc_planes), self.bn_axis_name, name="class_head"
         )(x, mask, train)

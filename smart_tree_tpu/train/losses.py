@@ -28,11 +28,17 @@ def l1_loss(pred: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Array:
 def cosine_similarity_loss(
     pred: jax.Array, target: jax.Array, mask: jax.Array
 ) -> jax.Array:
-    # torch CosineSimilarity default eps=1e-8 on the norm product
-    num = jnp.sum(pred * target, axis=1)
-    den = jnp.maximum(
-        jnp.linalg.norm(pred, axis=1) * jnp.linalg.norm(target, axis=1), 1e-8
-    )
+    # torch CosineSimilarity default eps=1e-8 on the norm product. Masked
+    # rows are substituted with a unit vector BEFORE any norm so zero rows
+    # never produce NaN values or NaN gradients (0*NaN is still NaN).
+    e1 = jnp.zeros_like(pred).at[:, 0].set(1.0)
+    m = mask[:, None]
+    p = jnp.where(m, pred, e1)
+    t = jnp.where(m, target, e1)
+    num = jnp.sum(p * t, axis=1)
+    pn = jnp.sqrt(jnp.sum(p * p, axis=1) + 1e-16)
+    tn = jnp.sqrt(jnp.sum(t * t, axis=1) + 1e-16)
+    den = jnp.maximum(pn * tn, 1e-8)
     return _masked_mean(1.0 - num / den, mask)
 
 

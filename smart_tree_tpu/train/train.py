@@ -189,10 +189,59 @@ def main(argv=None) -> int:
             epochs_no_improve += 1
         log.info("epoch %d done in %.1fs (lr=%.2e)", epoch, time.time() - t0, scheduler.lr)
 
+        if cfg.get("capture_output") and epoch % int(cfg["capture_output"]) == 0:
+            try:
+                capture_epoch(state, model, val_ds, cfg, out_dir, epoch)
+            except Exception as e:  # pragma: no cover - capture is best-effort
+                log.warning("capture failed: %s", e)
+
         if cfg.get("early_stop", False) and epochs_no_improve >= cfg["early_stop_epoch"]:
             log.info("early stop at epoch %d", epoch)
             break
     return 0
+
+
+def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int) -> None:
+    """Render predicted segmentation/medial views of one val cloud to the
+    run dir (reference capture_and_log, train.py:147-163, wandb.Object3D
+    uploads replaced by PNG captures when wandb is absent)."""
+    import jax.numpy as jnp
+
+    from ..core.plan import build_plan
+    from ..core.sparse_tensor import SparseVoxelTensor
+    from ..viz.render import Renderer
+
+    coords, feats, targets, name = dataset.item(0)
+    cap = 1 << max(int(np.ceil(np.log2(max(len(coords), 1)))), 10)
+    cpad = np.full((cap, 4), -1, np.int32)
+    cpad[: len(coords), 0] = 0
+    cpad[: len(coords), 1:] = coords
+    fpad = np.zeros((cap, feats.shape[1]), np.float32)
+    fpad[: len(feats)] = feats
+    spatial = tuple(int(c) + 1 for c in coords.max(axis=0))
+    x = SparseVoxelTensor.from_coords(
+        jnp.asarray(cpad), jnp.asarray(fpad), spatial, 1,
+        valid=jnp.asarray(np.arange(cap) < len(coords)),
+    )
+    plan = build_plan(x, len(model.unet_planes))
+    preds = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        plan, x.feats[:, :3], train=False,
+    )
+    active = np.asarray(x.active)
+    xyz = np.asarray(x.feats[:, :3])[active]
+    cls = np.argmax(np.asarray(preds["class_l"])[active], axis=1)
+    cmap = np.asarray(cfg.get("cmap", [[1, 0, 0], [0, 1, 0]]), np.float32)
+    seg_rgb = cmap[np.clip(cls, 0, len(cmap) - 1)]
+    medial = xyz + np.exp(np.asarray(preds["radius"])[active]) * np.asarray(
+        preds["direction"]
+    )[active]
+    r = Renderer(960, 540)
+    cap_dir = out_dir / "captures"
+    cap_dir.mkdir(parents=True, exist_ok=True)
+    r.capture_to_file(cap_dir / f"epoch{epoch:04d}_seg.png", xyz, seg_rgb)
+    r.capture_to_file(cap_dir / f"epoch{epoch:04d}_medial.png", medial)
+    log.info("captured %s (epoch %d)", name, epoch)
 
 
 if __name__ == "__main__":

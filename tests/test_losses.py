@@ -1,0 +1,95 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smart_tree_tpu.train.losses import (
+    compute_loss,
+    cosine_similarity_loss,
+    focal_loss,
+    l1_loss,
+)
+
+
+def test_losses_match_torch_semantics():
+    torch = __import__("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    n = 64
+    pred_r = rng.normal(size=(n, 1)).astype(np.float32)
+    tgt_r = rng.uniform(0.01, 0.2, size=(n, 1)).astype(np.float32)
+    pred_d = rng.normal(size=(n, 3)).astype(np.float32)
+    tgt_d = rng.normal(size=(n, 3)).astype(np.float32)
+    logits = rng.normal(size=(n, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, size=(n,)).astype(np.float32)
+    mask = np.ones(n, bool)
+
+    # L1 on log radius
+    got = float(l1_loss(jnp.asarray(pred_r), jnp.log(jnp.asarray(tgt_r)), jnp.asarray(mask)))
+    ref = float(torch.nn.L1Loss()(torch.tensor(pred_r).view(-1), torch.tensor(np.log(tgt_r)).view(-1)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    # cosine
+    got = float(cosine_similarity_loss(jnp.asarray(pred_d), jnp.asarray(tgt_d), jnp.asarray(mask)))
+    ref = float(torch.mean(1 - torch.nn.CosineSimilarity()(torch.tensor(pred_d), torch.tensor(tgt_d))))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+    # focal (gamma=2, mean reduction — reference loss.py:79-96)
+    got = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask)))
+    lt = torch.tensor(logits)
+    tt = torch.tensor(labels).long().view(-1, 1)
+    logpt = F.log_softmax(lt, dim=1).gather(1, tt).view(-1)
+    pt = logpt.exp()
+    ref = float((-1 * (1 - pt) ** 2 * logpt).mean())
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_compute_loss_vector_class_mask():
+    n = 10
+    preds = {
+        "radius": jnp.ones((n, 1)),
+        "direction": jnp.ones((n, 3)),
+        "class_l": jnp.zeros((n, 2)),
+    }
+    targets = jnp.concatenate(
+        [
+            jnp.full((n, 1), 0.5),
+            jnp.ones((n, 3)),
+            jnp.concatenate([jnp.zeros((5, 1)), jnp.ones((5, 1))], axis=0),
+        ],
+        axis=1,
+    )
+    mask = jnp.ones(n, bool)
+    losses = compute_loss(preds, targets, mask, vector_class=0)
+    # radius/direction supervised only on class-0 rows
+    assert np.isfinite(float(losses["radius"]))
+    np.testing.assert_allclose(float(losses["direction"]), 0.0, atol=1e-6)
+
+
+def test_loss_gradients_finite_with_padding():
+    """Padded rows (all-zero preds/targets, mask False) must not poison
+    gradients — the NaN mode that broke the first training run."""
+
+    def loss_fn(p):
+        preds = {
+            "radius": p["r"],
+            "direction": p["d"] * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(p["d"] ** 2, 1, keepdims=True), 1e-24)
+            ),
+            "class_l": p["c"],
+        }
+        targets = jnp.zeros((6, 5))
+        targets = targets.at[:3, 0].set(0.1)
+        targets = targets.at[:3, 1].set(1.0)
+        mask = jnp.asarray([True] * 3 + [False] * 3)
+        return sum(compute_loss(preds, targets, mask).values())
+
+    params = {
+        "r": jnp.asarray([[0.1]] * 3 + [[0.0]] * 3),
+        "d": jnp.asarray([[1.0, 0, 0]] * 3 + [[0.0, 0, 0]] * 3),
+        "c": jnp.zeros((6, 2)),
+    }
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), f"NaN grad in {k}"

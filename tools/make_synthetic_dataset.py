@@ -49,8 +49,15 @@ def main():
             )
             name = f"{fam}_{i:03d}.npz"
             save_data_npz(out / name, skel, cloud)
-            frac = i / max(args.per_family, 1)
-            bucket = "train" if frac < 0.8 else ("test" if frac < 0.9 else "validation")
+            if args.per_family >= 3 and i == args.per_family - 2:
+                bucket = "test"
+            elif args.per_family >= 3 and i == args.per_family - 1:
+                bucket = "validation"
+            else:
+                frac = i / max(args.per_family, 1)
+                bucket = (
+                    "train" if frac < 0.8 else ("test" if frac < 0.9 else "validation")
+                )
             split[bucket].append(name)
             seed += 1
             print(f"{name}: {len(cloud)} pts, {len(skel.branches)} branches -> {bucket}")
