@@ -87,6 +87,17 @@ class Cloud:
         mask = xp.isin(self.class_l.reshape(-1), xp.asarray(classes))
         return self.filter(mask)
 
+    def filter_by_skeleton(self, skeleton, threshold: float = 1.1) -> "Cloud":
+        """Keep points within threshold*radius of the skeleton's tubes
+        (reference cloud.py:105-108)."""
+        from ..data.tube import collate_tubes
+        from ..utils.queries import skeleton_to_points
+
+        dists, radii, _ = skeleton_to_points(
+            np.asarray(self.xyz), collate_tubes(skeleton.to_tubes())
+        )
+        return self.filter(dists < radii * threshold)
+
     # -- transforms (drop labels, reference parity) --
     def scale(self, factor) -> "Cloud":
         return Cloud(self.xyz * factor, self.rgb, filename=self.filename)

@@ -45,11 +45,16 @@ def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True
     if shuffle:
         dataset.rng.shuffle(order)
     group = per_dev_items * n_dev
-    for start in range(0, len(order) - group + 1, group):
+    for start in range(0, len(order), group):
         idxs = order[start : start + group]
         subs = []
         for d in range(n_dev):
-            items = [dataset.item(i) for i in idxs[d * per_dev_items : (d + 1) * per_dev_items]]
+            chunk = idxs[d * per_dev_items : (d + 1) * per_dev_items]
+            if len(chunk) == 0:
+                # short final group: reuse the first item so every device
+                # has data (capacity padding keeps shapes static anyway)
+                chunk = idxs[:1]
+            items = [dataset.item(i) for i in chunk]
             vb = collate(items, per_dev_items, capacity=cap)
             subs.append(vb)
         yield (
@@ -174,7 +179,7 @@ def main(argv=None) -> int:
         _, te = run_epoch(eval_step, state, test_ds, cfg, n_dev, spatial, False)
         te.log("test", epoch, sink)
 
-        val_loss = va.total_loss
+        val_loss = va.total_loss if va._count else float("inf")
         scheduler.step(val_loss)
         if val_loss < best_val:
             best_val = val_loss
