@@ -67,20 +67,9 @@ def voxelize_host(
     return g[first], data[first]
 
 
-@dataclass
 class TreeDataset:
     """Training dataset over the synthetic-trees split json
     (reference dataset.py:18-141; conf keys identical)."""
-
-    voxel_size: float
-    json_path: str | Path
-    directory: str | Path
-    mode: str
-    input_features: Sequence[str]
-    target_features: Sequence[str]
-    augmentation=None
-    cache: bool = False
-    seed: int = 0
 
     def __init__(
         self,

@@ -40,7 +40,6 @@ def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True
     batch_size/n_dev items collated to the shared static capacity."""
     per_dev_items = max(cfg["batch_size"] // n_dev, 1)
     cap = int(cfg["batch_capacity"])
-    items_iter = dataset.batches  # not used; manual grouping below
     order = np.arange(len(dataset))
     if shuffle:
         dataset.rng.shuffle(order)
@@ -133,7 +132,6 @@ def main(argv=None) -> int:
     per_dev_items = max(cfg["batch_size"] // n_dev, 1)
 
     scheduler = ReduceLROnPlateau(lr=cfg["lr"])
-    lr_holder = {"lr": cfg["lr"]}
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=cfg["lr"])
 
     state = TrainState(

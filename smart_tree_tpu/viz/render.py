@@ -44,6 +44,13 @@ class Renderer:
     ) -> np.ndarray:
         """Render points to an RGB uint8 array [H,W,3]."""
         xyz = np.asarray(xyz, np.float64)
+        finite = np.isfinite(xyz).all(axis=1)
+        if not finite.all():
+            xyz = xyz[finite]
+            if rgb is not None:
+                rgb = np.asarray(rgb)[finite]
+        if len(xyz) == 0:
+            return np.full((self.height, self.width, 3), 255, np.uint8)
         if rgb is None:
             rgb = np.full_like(xyz, 0.7)
         rgb8 = np.clip(np.asarray(rgb) * 255, 0, 255).astype(np.uint8)
