@@ -42,6 +42,7 @@ def make_dp_train_step(
     axis: str = "dp",
     vector_class: int | None = 0,
     compute_dtype=jnp.float32,
+    matmul_precision: str = "float32",
 ):
     """Build the jitted DP train step.
 
@@ -56,6 +57,7 @@ def make_dp_train_step(
         mask, valid = mask[0], valid[0]
 
         def loss_fn(p):
+          with jax.default_matmul_precision(matmul_precision):
             x = SparseVoxelTensor.from_coords(
                 coords, feats.astype(compute_dtype), spatial_shape, device_batch,
                 valid=valid,

@@ -50,6 +50,7 @@ class MetricsSink:
 
     def __init__(self, project=None, entity=None, mode="disabled", run_name=None):
         self._wandb = None
+        self._run_name = run_name
         if mode != "disabled":
             try:  # pragma: no cover - optional dependency
                 import wandb
@@ -63,7 +64,7 @@ class MetricsSink:
     def run_name(self) -> str:
         if self._wandb is not None and self._wandb.run is not None:
             return self._wandb.run.name
-        return "local-run"
+        return self._run_name or "local-run"
 
     def log(self, metrics: Dict[str, float], step: int | None = None) -> None:
         if self._wandb is not None:  # pragma: no cover
