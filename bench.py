@@ -62,10 +62,21 @@ def main() -> int:
     # warmup (compile)
     mi.forward(cloud)
     reps = 3
+    profile_dir = None
+    if "--profile" in sys.argv:
+        import jax
+
+        profile_dir = "/tmp/smart_tree_profile"
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(reps):
         lc = mi.forward(cloud)
     dt = (time.perf_counter() - t0) / reps
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"# trace written to {profile_dir}", file=sys.stderr)
 
     pps = n_points / dt
     out = {

@@ -14,7 +14,6 @@ all-ones key `INVALID_KEY`, which sorts past every valid key.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

@@ -14,7 +14,6 @@ follow-up; until then `should_use_pallas` only opts in when the table fits.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

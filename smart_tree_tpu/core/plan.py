@@ -10,7 +10,7 @@ work. Plans are jit-friendly pytrees with static capacities.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,14 +20,13 @@ Conventions (cross-correlation, torch/XLA-compatible):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coords import INVALID_KEY, key_bits, lookup, pack_coords, unique_keys, unpack_keys
+from .coords import INVALID_KEY, lookup, pack_coords, unique_keys, unpack_keys
 
 
 def kernel_offsets(kernel_size: int) -> np.ndarray:

@@ -9,7 +9,7 @@ compute, so host augmentation is the right split)."""
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -3,7 +3,7 @@ smart_tree/data_types/branch.py:17-75."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

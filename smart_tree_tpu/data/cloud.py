@@ -15,7 +15,7 @@ Behavioral parity notes:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields, replace
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 

@@ -13,7 +13,7 @@ Parity notes (SURVEY.md §2.1 quirks, replicated intentionally):
 from __future__ import annotations
 
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List
 
 import numpy as np

@@ -27,7 +27,7 @@ import numpy as np
 from ..core.plan import build_plan
 from ..core.sparse_tensor import SparseVoxelTensor
 from ..data.cloud import Cloud
-from ..data.dataset import BlockTiler, VoxelBatch
+from ..data.dataset import BlockTiler
 from ..nn.model import SmartTree
 
 

@@ -12,7 +12,7 @@ Module/param names deliberately mirror the reference state_dict layout
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

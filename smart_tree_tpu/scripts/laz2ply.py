@@ -4,7 +4,6 @@ Requires laspy (optional dependency; not bundled in this environment)."""
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
 
 import numpy as np
 

@@ -11,8 +11,6 @@ import logging
 from collections import defaultdict
 from typing import Dict
 
-import numpy as np
-
 log = logging.getLogger(__name__)
 
 

@@ -7,8 +7,6 @@ skeleton repair (tree.py) and by skeleton->point labelling.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

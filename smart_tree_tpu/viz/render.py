@@ -8,7 +8,6 @@ PIL."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Tuple
 
 import numpy as np
 

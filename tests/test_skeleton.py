@@ -67,3 +67,27 @@ def test_skeletonizer_recovers_synthetic_tree():
     ids = set(main.branches.keys())
     for b in main.branches.values():
         assert b.parent_id == -1 or b.parent_id in ids or b.parent_id < max(ids)
+
+
+def test_skeletonizer_separates_disjoint_trees():
+    """Two spatially separated trees must come out as separate skeletons
+    (connected-components path, reference graph.py:32-51)."""
+    import numpy as np
+
+    from smart_tree_tpu.data.cloud import Cloud
+
+    c1, _ = generate_tree(seed=10, height=2.5, points_per_m2=2000.0, max_depth=1)
+    c2, _ = generate_tree(seed=11, height=2.5, points_per_m2=2000.0, max_depth=1)
+    xyz = np.concatenate([np.asarray(c1.xyz), np.asarray(c2.xyz) + [5.0, 0, 0]])
+    mv = np.concatenate([np.asarray(c1.medial_vector), np.asarray(c2.medial_vector)])
+    cloud = Cloud(xyz=xyz, medial_vector=mv)
+    sk = Skeletonizer(K=16, minimum_graph_vertices=32, hop_cap=512)
+    out = sk.forward(cloud.device())
+    assert len(out.skeletons) == 2
+    # skeletons sit in their own halves of space
+    centres = [
+        np.concatenate([b.xyz for b in s.branches.values()]).mean(0)
+        for s in out.skeletons
+    ]
+    xs = sorted(c[0] for c in centres)
+    assert xs[0] < 2.0 and xs[1] > 3.0
