@@ -60,8 +60,18 @@ def voxelize_host(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host dedup voxelizer: floor-quantize against min corner, keep the
     first point per voxel (np.unique semantics, matching the reference's
-    PointToVoxel max_num_points_per_voxel=1 + sparse_quantize)."""
+    PointToVoxel max_num_points_per_voxel=1 + sparse_quantize).
+
+    Uses the native C++ hash dedup (smart_tree_tpu/native) when available —
+    np.unique(axis=0) lexsorts structured rows and dominates host time at
+    multi-million-point scale."""
     origin = xyz.min(axis=0)
+    from .. import native
+
+    nat = native.voxelize(xyz, voxel_size, origin)
+    if nat is not None:
+        coords, first = nat
+        return coords, data[first]
     g = np.floor((xyz - origin) / voxel_size).astype(np.int32)
     _, first = np.unique(g, axis=0, return_index=True)
     return g[first], data[first]
