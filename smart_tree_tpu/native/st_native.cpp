@@ -53,14 +53,15 @@ int64_t st_voxelize(const float* xyz, int64_t n, float voxel,
     std::vector<Cell> cells;
     cells.reserve(n / 2 + 8);
 
-    const float inv = 1.0f / voxel;
+    // divide (not multiply-by-reciprocal): bit-parity with numpy's
+    // np.floor((xyz - origin) / voxel) at cell boundaries
     for (int64_t i = 0; i < n; ++i) {
         const int32_t gx =
-            static_cast<int32_t>(std::floor((xyz[3 * i + 0] - origin[0]) * inv));
+            static_cast<int32_t>(std::floor((xyz[3 * i + 0] - origin[0]) / voxel));
         const int32_t gy =
-            static_cast<int32_t>(std::floor((xyz[3 * i + 1] - origin[1]) * inv));
+            static_cast<int32_t>(std::floor((xyz[3 * i + 1] - origin[1]) / voxel));
         const int32_t gz =
-            static_cast<int32_t>(std::floor((xyz[3 * i + 2] - origin[2]) * inv));
+            static_cast<int32_t>(std::floor((xyz[3 * i + 2] - origin[2]) / voxel));
         uint64_t h = hash_cell(gx, gy, gz) & mask;
         for (;;) {
             int64_t s = slots[h];
@@ -124,11 +125,10 @@ int64_t st_block_ids(const float* xyz, int64_t n, float block_size,
     const uint64_t mask = cap - 1;
     std::vector<int64_t> slots(cap, -1);
     std::vector<Cell> cells;
-    const float inv = 1.0f / block_size;
     for (int64_t i = 0; i < n; ++i) {
-        const int32_t gx = static_cast<int32_t>(std::floor(xyz[3 * i] * inv));
-        const int32_t gy = static_cast<int32_t>(std::floor(xyz[3 * i + 1] * inv));
-        const int32_t gz = static_cast<int32_t>(std::floor(xyz[3 * i + 2] * inv));
+        const int32_t gx = static_cast<int32_t>(std::floor(xyz[3 * i] / block_size));
+        const int32_t gy = static_cast<int32_t>(std::floor(xyz[3 * i + 1] / block_size));
+        const int32_t gz = static_cast<int32_t>(std::floor(xyz[3 * i + 2] / block_size));
         uint64_t h = hash_cell(gx, gy, gz) & mask;
         for (;;) {
             int64_t s = slots[h];
