@@ -215,16 +215,18 @@ def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int) -> None
     from ..viz.render import Renderer
 
     coords, feats, targets, name = dataset.item(0)
-    cap = 1 << max(int(np.ceil(np.log2(max(len(coords), 1)))), 10)
+    # static shapes: one compile for every epoch's capture
+    cap = int(cfg["batch_capacity"])
+    n = min(len(coords), cap)
     cpad = np.full((cap, 4), -1, np.int32)
-    cpad[: len(coords), 0] = 0
-    cpad[: len(coords), 1:] = coords
+    cpad[:n, 0] = 0
+    cpad[:n, 1:] = coords[:n]
     fpad = np.zeros((cap, feats.shape[1]), np.float32)
-    fpad[: len(feats)] = feats
-    spatial = tuple(int(c) + 1 for c in coords.max(axis=0))
+    fpad[:n] = feats[:n]
+    spatial = tuple(cfg["spatial_shape"])
     x = SparseVoxelTensor.from_coords(
         jnp.asarray(cpad), jnp.asarray(fpad), spatial, 1,
-        valid=jnp.asarray(np.arange(cap) < len(coords)),
+        valid=jnp.asarray(np.arange(cap) < n),
     )
     plan = build_plan(x, len(model.unet_planes))
     preds = model.apply(
