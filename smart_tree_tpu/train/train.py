@@ -159,7 +159,9 @@ def main(argv=None) -> int:
 
     compute_dtype = jnp.bfloat16 if cfg.get("fp16", False) else jnp.float32
     train_step = make_dp_train_step(
-        model, optimizer, spatial, per_dev_items, mesh, compute_dtype=compute_dtype
+        model, optimizer, spatial, per_dev_items, mesh,
+        compute_dtype=compute_dtype,
+        matmul_precision=cfg.get("matmul_precision", "float32"),
     )
     eval_step = make_dp_eval_step(model, spatial, per_dev_items, mesh)
 
