@@ -93,3 +93,27 @@ def test_loss_gradients_finite_with_padding():
     assert np.isfinite(float(val))
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), f"NaN grad in {k}"
+
+
+def test_to_labelled_clouds_split():
+    import numpy as np
+
+    from smart_tree_tpu.train.helper import to_labelled_clouds
+
+    n = 8
+    coords = np.zeros((n, 4), np.int32)
+    coords[4:, 0] = 1
+    valid = np.ones(n, bool)
+    valid[-1] = False
+    feats = np.random.rand(n, 6).astype(np.float32)
+    preds = {
+        "radius": np.zeros((n, 1), np.float32),
+        "direction": np.tile([1.0, 0, 0], (n, 1)).astype(np.float32),
+        "class_l": np.random.rand(n, 2).astype(np.float32),
+    }
+    clouds = to_labelled_clouds(preds, feats, coords, valid, 2, ("a", "b"))
+    assert len(clouds) == 2
+    assert len(clouds[0]) == 4 and len(clouds[1]) == 3
+    # exp(0) * [1,0,0] = unit x medial vectors
+    np.testing.assert_allclose(np.asarray(clouds[0].medial_vector)[:, 0], 1.0)
+    assert clouds[1].filename == "b"
