@@ -41,6 +41,28 @@ class FixedRotate(Augmentation):
         return cloud.rotate(self.rot_mat.astype(np.float32))
 
 
+class RandomRotateY(Augmentation):
+    """Random rotation about the y (up) axis — keeps gravity-aligned
+    structure while decorrelating absolute position/orientation (not in the
+    reference's augmentation set; helps our synthetic runs generalize)."""
+
+    def __call__(self, cloud, rng):
+        a = rng.uniform(0, 2 * np.pi)
+        rot = euler_angles_to_rotation([0.0, a, 0.0]).astype(np.float32)
+        out = Cloud(
+            cloud.xyz @ rot,
+            cloud.rgb,
+            medial_vector=(cloud.medial_vector @ rot
+                           if cloud.medial_vector is not None else None),
+            branch_direction=(cloud.branch_direction @ rot
+                              if cloud.branch_direction is not None else None),
+            branch_ids=cloud.branch_ids,
+            class_l=cloud.class_l,
+            filename=cloud.filename,
+        )
+        return out
+
+
 class CentreCloud(Augmentation):
     """Translate bbox centre to origin, keeping the y base
     (reference augmentations.py:38-41)."""
