@@ -149,19 +149,28 @@ class ModelInference:
         levels = len(model.unet_planes)
 
         @jax.jit
-        def run(variables, coords, feats, valid):
+        def run(variables, coords, xyz, valid):
+            """Transfer-minimal forward: uploads coords + xyz only; returns
+            the sort permutation instead of permuted features so the host
+            applies it to its own arrays (rgb, interior mask) locally —
+            host<->device traffic is the bottleneck on thin interconnects."""
             with jax.default_matmul_precision(self.precision):
-                x = SparseVoxelTensor.from_coords(
-                    coords, feats, spatial_shape, batch, valid=valid
+                from ..core.coords import pack_coords
+
+                keys = pack_coords(coords, spatial_shape, batch, valid=valid)
+                order = jnp.argsort(keys, stable=True)
+                skeys = keys[order]
+                active = skeys != jnp.uint32(0xFFFFFFFF)
+                feats = jnp.where(active[:, None], xyz[order], 0)
+                x = SparseVoxelTensor(
+                    keys=skeys, feats=feats, active=active,
+                    spatial_shape=spatial_shape, batch_size=batch,
                 )
                 plan = build_plan(x, levels, level_capacity_factor=factor)
-                preds = model.apply(variables, plan, x.feats[:, :3], train=False)
-                # carry the permuted xyz/rgb + masks out so the host can
-                # assemble the labelled cloud without knowing the sort order;
-                # counts vs capacities let it detect level-buffer overflow
+                preds = model.apply(variables, plan, x.feats, train=False)
                 counts = jnp.stack([lv.count for lv in plan.levels])
                 caps = jnp.asarray([lv.keys.shape[0] for lv in plan.levels])
-                return preds, x.feats, x.active, counts, caps
+                return preds, order.astype(jnp.int32), active, counts, caps
 
         return run
 
@@ -172,28 +181,30 @@ class ModelInference:
             self.block_size,
             self.buffer_size,
         )
-        out_xyzrgb, out_radius, out_dir, out_class = [], [], [], []
+        # submit every batch first (async dispatch overlaps uploads, compute
+        # and downloads across batches), then collect
+        pending = []
         for vb in tiler.batches(self.batch_size):
             run = self._compiled(len(vb.coords), vb.spatial_shape, vb.batch_size)
-            # permute the interior mask identically to the tensor sort: append
-            # it as an extra feature column
-            feats = np.concatenate(
-                [vb.feats, vb.mask[:, None].astype(np.float32)], axis=1
-            )
-            preds, sorted_feats, active, counts, caps = run(
+            out = run(
                 self.variables,
                 jnp.asarray(vb.coords),
-                jnp.asarray(feats),
+                jnp.asarray(vb.feats[:, :3]),
                 jnp.asarray(vb.valid),
             )
+            pending.append((vb, out))
+
+        out_xyzrgb, out_radius, out_dir, out_class = [], [], [], []
+        for vb, (preds, order, active, counts, caps) in pending:
             if bool(np.any(np.asarray(counts) > np.asarray(caps))):
                 raise RuntimeError(
                     f"UNet level buffer overflow (counts {np.asarray(counts)} "
                     f"vs capacities {np.asarray(caps)}); raise "
                     "level_capacity_factor"
                 )
-            keep = np.asarray(active) & (np.asarray(sorted_feats[:, -1]) > 0.5)
-            out_xyzrgb.append(np.asarray(sorted_feats[:, :6])[keep])
+            order = np.asarray(order)
+            keep = np.asarray(active) & vb.mask[order]
+            out_xyzrgb.append(vb.feats[order[keep]][:, :6])
             out_radius.append(np.asarray(preds["radius"])[keep])
             out_dir.append(np.asarray(preds["direction"])[keep])
             out_class.append(np.asarray(preds["class_l"])[keep])
