@@ -37,7 +37,14 @@ def _interpret() -> bool:
 def should_use_pallas(m: int, k3: int, cin: int, cout: int) -> bool:
     if not _enabled():
         return False
-    # Only the VMEM-resident variant exists so far.
+    # Mosaic (real TPU) rejects dynamic int-array indexing of VMEM refs
+    # ("Cannot do int indexing on TPU"), so this first kernel runs only in
+    # interpreter mode; the real-TPU version needs the sorted-key slab
+    # formulation (contiguous DMA ranges per kernel offset — rulebook
+    # columns are monotone over sorted keys). Until that lands, XLA's
+    # native gather (hardware dynamic-gather loop) is the TPU path.
+    if not _interpret():
+        return False
     return m * cin * 4 <= _VMEM_FEATS_BYTES
 
 
