@@ -117,3 +117,28 @@ def test_to_labelled_clouds_split():
     # exp(0) * [1,0,0] = unit x medial vectors
     np.testing.assert_allclose(np.asarray(clouds[0].medial_vector)[:, 0], 1.0)
     assert clouds[1].filename == "b"
+
+
+def test_reduce_lr_on_plateau_semantics():
+    from smart_tree_tpu.train.schedule import ReduceLROnPlateau
+
+    s = ReduceLROnPlateau(lr=0.1, patience=2, factor=0.1)
+    assert s.step(1.0) == 0.1     # first value = best
+    assert s.step(0.5) == 0.1     # improvement
+    assert s.step(0.6) == 0.1     # bad 1
+    assert s.step(0.6) == 0.1     # bad 2
+    assert abs(s.step(0.6) - 0.01) < 1e-12  # bad 3 > patience -> decay
+    st = s.state_dict()
+    s2 = ReduceLROnPlateau(lr=0.1, patience=2)
+    s2.load_state_dict(st)
+    assert s2.lr == s.lr and s2.best == s.best
+
+
+def test_tracker_means():
+    from smart_tree_tpu.train.tracker import Tracker
+
+    t = Tracker()
+    t.update({"a": 1.0, "b": 2.0})
+    t.update({"a": 3.0, "b": 4.0})
+    assert t.means == {"a": 2.0, "b": 3.0}
+    assert t.total_loss == 5.0
