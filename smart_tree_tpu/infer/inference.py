@@ -209,6 +209,12 @@ class ModelInference:
             out_dir.append(np.asarray(preds["direction"])[keep])
             out_class.append(np.asarray(preds["class_l"])[keep])
 
+        if not out_xyzrgb:
+            # cloud too sparse to form any block (all below min_points)
+            z = np.zeros((0, 3), np.float32)
+            return Cloud(xyz=z, rgb=z, medial_vector=z,
+                         class_l=np.zeros((0, 1), np.float32),
+                         filename=cloud.filename)
         xyzrgb = np.concatenate(out_xyzrgb)
         radius = np.concatenate(out_radius)
         direction = np.concatenate(out_dir)
