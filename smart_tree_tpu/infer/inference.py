@@ -33,6 +33,12 @@ from ..nn.model import SmartTree
 
 def load_variables(weights_path) -> Dict:
     weights_path = Path(weights_path)
+    if not weights_path.exists():
+        # resolve config-relative paths (e.g. smart_tree_tpu/weights/...)
+        # against the package parent so the CLI works from any cwd
+        alt = Path(__file__).resolve().parent.parent.parent / weights_path
+        if alt.exists():
+            weights_path = alt
     if weights_path.suffix == ".npz":
         from ..nn.convert import load_npz
 
