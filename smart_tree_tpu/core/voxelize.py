@@ -83,21 +83,26 @@ def voxel_downsample_indices(
     voxel_size: float,
     capacity: int,
     valid: jax.Array | None = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Indices of one representative point per voxel (lowest original row).
 
     Mirrors reference util/misc.py:61-79 `voxel_downsample` semantics (floor
     division by voxel size, first point per occupied voxel).
 
-    Returns (point_idx [capacity], valid [capacity], count).
+    Returns (point_idx [capacity], valid [capacity], count, n_out_of_grid).
+
+    The grid is statically 1024^3 (extent can't be derived at trace time);
+    points beyond it are NOT silently merged — they are counted in
+    `n_out_of_grid` so callers can detect and fail/re-tile (mirrors the
+    inference overflow raise, infer/inference.py:205-210).
     """
     mn = jnp.min(jnp.where((valid[:, None] if valid is not None else True), xyz, jnp.inf), axis=0)
     g = jnp.floor((xyz - mn[None, :]) / voxel_size).astype(jnp.int32)
-    # Conservative static bits: derive spatial extent bound from data at trace
-    # time is impossible; use a fixed 1024^3 grid with wraparound-free clip.
+    vmask = valid if valid is not None else jnp.ones((xyz.shape[0],), bool)
+    oob = jnp.sum((jnp.any(g > 1023, axis=1) | jnp.any(g < 0, axis=1)) & vmask)
     g = jnp.clip(g, 0, 1023)
     coords = jnp.concatenate([jnp.zeros((xyz.shape[0], 1), jnp.int32), g], axis=1)
     keys = pack_coords(coords, (1024, 1024, 1024), 1, valid=valid)
     # 1024^3 needs 30 bits: fits.
     ukeys, first_idx, _, count = unique_keys(keys, capacity)
-    return first_idx, ukeys != INVALID_KEY, count
+    return first_idx, ukeys != INVALID_KEY, count, oob

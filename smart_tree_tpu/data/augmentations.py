@@ -63,6 +63,30 @@ class RandomRotateY(Augmentation):
         return out
 
 
+class RandomScale(Augmentation):
+    """Label-aware uniform scale: unlike the reference's `Scale` (whose
+    cloud.scale drops labels, reference cloud.py:194-202), this also scales
+    the medial vectors so radius/direction targets stay consistent — usable
+    in training pipelines."""
+
+    def __init__(self, min_scale=0.8, max_scale=1.2):
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+
+    def __call__(self, cloud, rng):
+        t = np.float32(rng.uniform(self.min_scale, self.max_scale))
+        return Cloud(
+            cloud.xyz * t,
+            cloud.rgb,
+            medial_vector=(cloud.medial_vector * t
+                           if cloud.medial_vector is not None else None),
+            branch_direction=cloud.branch_direction,
+            branch_ids=cloud.branch_ids,
+            class_l=cloud.class_l,
+            filename=cloud.filename,
+        )
+
+
 class CentreCloud(Augmentation):
     """Translate bbox centre to origin, keeping the y base
     (reference augmentations.py:38-41)."""

@@ -152,11 +152,32 @@ class TreeDataset:
             yield collate(items, batch_size, capacity)
 
 
-def collate(items, batch_size: int, capacity: int | None = None) -> VoxelBatch:
+def collate(
+    items, batch_size: int, capacity: int | None = None, on_overflow: str = "raise"
+) -> VoxelBatch:
     """Stack per-item voxels into one padded batch with a batch-index
-    column (reference sparse.py:40-61 batch_collate)."""
+    column (reference sparse.py:40-61 batch_collate).
+
+    A fixed `capacity` smaller than the voxel count is an ERROR by default —
+    silent truncation would corrupt training targets invisibly. Pass
+    on_overflow="warn" (log + truncate; for long unattended runs) or
+    "truncate" (silent) to accept dropping the tail instead."""
     total = sum(len(it[0]) for it in items)
     cap = capacity or _ceil_pow2(total)
+    if total > cap:
+        if on_overflow == "raise":
+            raise RuntimeError(
+                f"collate overflow: {total} voxels > capacity {cap} "
+                f"(items: {[len(it[0]) for it in items]}); raise batch_capacity "
+                "or pass on_overflow='truncate'"
+            )
+        if on_overflow == "warn":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "collate overflow: %d voxels > capacity %d — truncating "
+                "(items %s)", total, cap, [len(it[0]) for it in items],
+            )
     ci = items[0][1].shape[1]
     ct = items[0][2].shape[1] if items[0][2] is not None else 0
     coords = np.full((cap, 4), -1, np.int32)

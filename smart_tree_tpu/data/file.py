@@ -210,15 +210,150 @@ def load_ply_cloud(path) -> Cloud:
     return Cloud(xyz=xyz, rgb=rgb)
 
 
+def _lzf_decompress(data: bytes, expected: int) -> bytes:
+    """Pure-python libLZF decompressor (PCL's binary_compressed codec).
+
+    Control byte < 32 -> literal run of ctrl+1 bytes; otherwise a back
+    reference of (ctrl>>5)+2 bytes (+1 extension byte when the 3-bit length
+    saturates) at offset ((ctrl&0x1f)<<8 | next)+1."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:
+            run = ctrl + 1
+            out += data[i : i + run]
+            i += run
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            ref = len(out) - (((ctrl & 0x1F) << 8) | data[i]) - 1
+            i += 1
+            for _ in range(length + 2):  # may overlap itself
+                out.append(out[ref])
+                ref += 1
+    if len(out) != expected:
+        raise ValueError(f"LZF: expected {expected} bytes, got {len(out)}")
+    return bytes(out)
+
+
+def load_pcd_cloud(path) -> Cloud:
+    """Self-contained PCD reader: ascii / binary / binary_compressed
+    (format-parity with the reference's Open3D fallback readers,
+    reference util/file.py:156-167). Handles PCL's packed-float rgb."""
+    typemap = {
+        ("F", 4): "<f4", ("F", 8): "<f8",
+        ("I", 1): "i1", ("I", 2): "<i2", ("I", 4): "<i4", ("I", 8): "<i8",
+        ("U", 1): "u1", ("U", 2): "<u2", ("U", 4): "<u4", ("U", 8): "<u8",
+    }
+    with open(path, "rb") as f:
+        fields, sizes, types, counts = [], [], [], []
+        n_points, data_mode = 0, None
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: no DATA line in PCD header")
+            parts = line.split()
+            if not parts or parts[0] == b"#":
+                continue
+            key = parts[0].upper()
+            if key == b"FIELDS":
+                fields = [p.decode() for p in parts[1:]]
+            elif key == b"SIZE":
+                sizes = [int(p) for p in parts[1:]]
+            elif key == b"TYPE":
+                types = [p.decode() for p in parts[1:]]
+            elif key == b"COUNT":
+                counts = [int(p) for p in parts[1:]]
+            elif key == b"POINTS":
+                n_points = int(parts[1])
+            elif key == b"WIDTH" and n_points == 0:
+                n_points = int(parts[1])
+            elif key == b"HEIGHT" and n_points and int(parts[1]) > 1:
+                pass  # POINTS (or WIDTH*HEIGHT) already captured
+            elif key == b"DATA":
+                data_mode = parts[1].decode()
+                break
+        if not counts:
+            counts = [1] * len(fields)
+        names, dts = [], []
+        for name, size, t, cnt in zip(fields, sizes, types, counts):
+            for c in range(cnt):
+                names.append(name if cnt == 1 else f"{name}_{c}")
+                dts.append(typemap[(t, size)])
+        dtype = np.dtype(list(zip(names, dts)))
+
+        if data_mode == "ascii":
+            rec = np.loadtxt(f, dtype=dtype, max_rows=n_points)
+            rec = np.atleast_1d(rec)
+        elif data_mode == "binary":
+            rec = np.frombuffer(
+                f.read(dtype.itemsize * n_points), dtype=dtype, count=n_points
+            )
+        elif data_mode == "binary_compressed":
+            comp_size, uncomp_size = np.frombuffer(f.read(8), "<u4")
+            raw = _lzf_decompress(f.read(int(comp_size)), int(uncomp_size))
+            # compressed PCD stores fields SoA: all x, then all y, ...
+            rec = np.empty(n_points, dtype=dtype)
+            off = 0
+            for name, dt in zip(names, dts):
+                itemsize = np.dtype(dt).itemsize
+                rec[name] = np.frombuffer(
+                    raw[off : off + itemsize * n_points], dtype=dt
+                )
+                off += itemsize * n_points
+        else:
+            raise ValueError(f"unsupported PCD DATA mode {data_mode}")
+
+    xyz = np.stack([rec["x"], rec["y"], rec["z"]], axis=1).astype(np.float32)
+    finite = np.isfinite(xyz).all(axis=1)  # organized clouds pad with NaN
+    rgb = None
+    if "rgb" in names or "rgba" in names:
+        key = "rgb" if "rgb" in names else "rgba"
+        packed = rec[key]
+        if packed.dtype.kind == "f":  # PCL packs bytes into a float
+            packed = packed.view(np.uint32)
+        rgb = np.stack(
+            [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], axis=1
+        ).astype(np.float32) / 255.0
+    elif {"r", "g", "b"} <= set(names):
+        rgb = np.stack([rec["r"], rec["g"], rec["b"]], axis=1).astype(np.float32)
+        if rec["r"].dtype == np.uint8:
+            rgb /= 255.0
+    if rgb is None:
+        rgb = np.zeros_like(xyz)  # zero-rgb fallback, reference file.py:161-166
+    return Cloud(xyz=xyz[finite], rgb=rgb[finite])
+
+
 def load_cloud(path) -> Cloud:
-    """Load .npz (synthetic-trees schema) or .ply (reference file.py:156-167)."""
+    """Load .npz (synthetic-trees schema), .ply, or .pcd; anything else
+    falls back to Open3D when available (reference file.py:156-167)."""
     path = Path(path)
     if path.suffix == ".npz":
         with np.load(path) as data:
             cld = Cloud.from_numpy(**{k: data[k] for k in data.files})
         cld.filename = path
         return cld
-    cld = load_ply_cloud(path)
+    if path.suffix == ".ply":
+        cld = load_ply_cloud(path)
+    elif path.suffix == ".pcd":
+        cld = load_pcd_cloud(path)
+    else:
+        try:
+            import open3d as o3d  # optional, absent in this environment
+        except ImportError as e:
+            raise ValueError(
+                f"unsupported cloud format {path.suffix} (npz/ply/pcd are "
+                "built in; others need open3d)"
+            ) from e
+        pc = o3d.io.read_point_cloud(str(path))
+        xyz = np.asarray(pc.points, np.float32)
+        rgb = (np.asarray(pc.colors, np.float32) if pc.has_colors()
+               else np.zeros_like(xyz))
+        cld = Cloud(xyz=xyz, rgb=rgb)
     cld.filename = path
     return cld
 

@@ -179,11 +179,16 @@ def generate_tree(
     height: float = 4.0,
     points_per_m2: float = 30000.0,
     foliage_points: int = 0,
+    noise: float = 0.002,
     **kw,
 ) -> Tuple[Cloud, TreeSkeleton]:
     rng = np.random.default_rng(seed)
     skeleton = generate_skeleton(rng, height=height, **kw)
     cloud = sample_cloud(
-        rng, skeleton, points_per_m2=points_per_m2, foliage_points=foliage_points
+        rng,
+        skeleton,
+        points_per_m2=points_per_m2,
+        foliage_points=foliage_points,
+        noise=noise,
     )
     return cloud, skeleton

@@ -1,2 +1,2 @@
 from .components import component_sizes, connected_components
-from .sssp import sssp, tree_distances
+from .sssp import sssp, sssp_multi, tree_distances

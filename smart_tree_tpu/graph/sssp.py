@@ -25,7 +25,6 @@ import jax.numpy as jnp
 INF = jnp.float32(jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("num_vertices",))
 def sssp(
     edges: jax.Array,
     weights: jax.Array,
@@ -33,22 +32,47 @@ def sssp(
     source: jax.Array,
     num_vertices: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Undirected weighted SSSP.
+    """Undirected weighted SSSP (single source — see sssp_multi)."""
+    return sssp_multi(
+        edges, weights, edge_valid,
+        jnp.asarray(source, jnp.int32).reshape(1), num_vertices,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_vertices",))
+def sssp_multi(
+    edges: jax.Array,
+    weights: jax.Array,
+    edge_valid: jax.Array,
+    sources: jax.Array,
+    num_vertices: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Undirected weighted shortest paths from MULTIPLE sources in one
+    Bellman-Ford pass.
+
+    The skeletonizer needs one SSSP per connected component (reference
+    skeletonize.py:73-85 loops cugraph.sssp per component); since component
+    vertex sets are disjoint, seeding every component's root at distance 0
+    solves all of them simultaneously over the global padded edge list —
+    O(E * diameter) total instead of O(C * E * diameter).
 
     edges [E,2] int32, weights [E] float32 >= 0, edge_valid [E] bool,
-    source scalar int32.
+    sources [S] int32 (-1 entries are padding).
 
-    Returns (dist [n] float32 — inf if unreachable,
+    Returns (dist [n] float32 — inf if unreachable from every source,
              pred [n] int32 — predecessor on a shortest path, -1 at the
-             source and at unreachable vertices), matching cugraph.sssp's
-    vertex/predecessor/distance contract.
+             sources and at unreachable vertices), matching cugraph.sssp's
+    vertex/predecessor/distance contract per component.
     """
     n = num_vertices
     u = jnp.where(edge_valid, edges[:, 0], 0)
     v = jnp.where(edge_valid, edges[:, 1], 0)
     w = jnp.where(edge_valid, weights, INF)
 
-    dist0 = jnp.full((n,), INF).at[source].set(0.0)
+    src_safe = jnp.clip(sources, 0, n - 1)
+    dist0 = jnp.full((n,), INF).at[src_safe].min(
+        jnp.where(sources >= 0, 0.0, INF)
+    )
 
     def cond(state):
         dist, changed = state
@@ -95,7 +119,7 @@ def sssp(
     cand = cand.at[jnp.where(hit_v, v, 0)].min(jnp.where(hit_v, u, big))
     cand = cand.at[jnp.where(hit_u, u, 0)].min(jnp.where(hit_u, v, big))
     pred = jnp.where((cand < big), cand, -1)
-    pred = pred.at[source].set(-1)
+    pred = pred.at[src_safe].set(jnp.where(sources >= 0, -1, pred[src_safe]))
     return dist, pred
 
 

@@ -28,8 +28,19 @@ _DST_CHUNK = 16384
 
 @partial(jax.jit, static_argnames=("k",))
 def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
+    # Candidate SELECTION tolerates small distance error (the selected pairs
+    # are recomputed exactly below) but not bf16 error: on TPU the MXU
+    # default rounds inputs to bf16, and at metre coordinates that is a
+    # ~(0.25 m)^2 error — the true neighbour never even enters the top-K.
+    # Centre the coordinates (minimises |s|^2, the cancellation magnitude)
+    # and force full-fp32 MXU passes for the selection matmul.
+    centre = (jnp.min(dst, axis=0) + jnp.max(dst, axis=0)) * 0.5
+    src = src - centre
+    dst = dst - centre
     n = src.shape[0]
     m = dst.shape[0]
+    # over-select so exact recomputation can demote selection-error picks
+    ksel = k + 8
     dst_norm2 = jnp.sum(dst * dst, axis=1)  # [M]
     big = jnp.float32(jnp.inf)
 
@@ -58,7 +69,13 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
             d2 = (
                 s_norm2[:, None]
                 + dn2[None, :]
-                - 2.0 * jnp.dot(s, d.T, preferred_element_type=jnp.float32)
+                - 2.0
+                * jnp.dot(
+                    s,
+                    d.T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             )
             d2 = jnp.maximum(d2, 0.0)
             d2 = jnp.where(dv[None, :], d2, big)
@@ -67,14 +84,14 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
             cand_i = jnp.concatenate(
                 [best_i, jnp.broadcast_to(idx_cols[None, :], d2.shape)], axis=1
             )
-            neg_top, arg = jax.lax.top_k(-cand_d, k)
+            neg_top, arg = jax.lax.top_k(-cand_d, ksel)
             new_d = -neg_top
             new_i = jnp.take_along_axis(cand_i, arg, axis=1)
             return (new_d, new_i), None
 
         init = (
-            jnp.full((s.shape[0], k), big),
-            jnp.full((s.shape[0], k), -1, jnp.int32),
+            jnp.full((s.shape[0], ksel), big),
+            jnp.full((s.shape[0], ksel), -1, jnp.int32),
         )
         bases = (jnp.arange(n_chunks, dtype=jnp.int32) * _DST_CHUNK)
         (best_d, best_i), _ = jax.lax.scan(
@@ -89,19 +106,20 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
     tiles_s = srcp.reshape(n_tiles, _SRC_TILE, 3)
     tiles_v = srcv.reshape(n_tiles, _SRC_TILE)
     _, (dists, idxs) = jax.lax.scan(src_tile_body, None, (tiles_s, tiles_v))
-    dists = dists.reshape(n_pad, k)[:n]
-    idxs = idxs.reshape(n_pad, k)[:n]
+    dists = dists.reshape(n_pad, ksel)[:n]
+    idxs = idxs.reshape(n_pad, ksel)[:n]
 
-    # The |s|^2+|d|^2-2s.d formulation suffers catastrophic cancellation for
-    # nearby points (errors ~ulp(|s|^2) — every sub-mm distance at metre
-    # coordinates collapses to 0). Selection only needs ordering, but graph
-    # edge WEIGHTS need accuracy: recompute the K selected pairs exactly,
-    # re-sort, and re-apply the radius gate.
+    # Even at full fp32 precision the |s|^2+|d|^2-2s.d formulation suffers
+    # catastrophic cancellation for nearby points (errors ~ulp(|s|^2) —
+    # sub-mm distances at metre coordinates collapse to 0). Selection only
+    # needs ordering, but graph edge WEIGHTS need accuracy: recompute the
+    # ksel selected pairs exactly, re-sort, keep the best k, and re-apply
+    # the radius gate.
     safe = jnp.maximum(idxs, 0)
-    diff = src[:, None, :] - dst[safe]  # [N,K,3]
+    diff = src[:, None, :] - dst[safe]  # [N,KSEL,3]
     d2 = jnp.sum(diff * diff, axis=2)
     d2 = jnp.where(idxs >= 0, d2, big)
-    order2 = jnp.argsort(d2, axis=1)
+    order2 = jnp.argsort(d2, axis=1)[:, :k]
     d2 = jnp.take_along_axis(d2, order2, axis=1)
     idxs = jnp.take_along_axis(idxs, order2, axis=1)
     ok = (d2 <= r2) & (idxs >= 0)

@@ -6,6 +6,11 @@ embarrassingly parallel, so the multi-chip mapping is: stack per-device
 block sub-batches on a leading mesh axis and shard_map the jitted
 voxelize+plan+UNet forward — every chip runs its own blocks, no collectives
 in the forward at all (ICI is only touched if the caller gathers outputs).
+
+The per-shard body is the same transfer-minimal formulation as the
+single-device path (infer/inference.py): upload coords + xyz only, return
+the sort permutation (the host applies it to its own arrays) plus per-level
+occupancy counts for overflow detection.
 """
 
 from __future__ import annotations
@@ -13,9 +18,11 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..core.coords import INVALID_KEY, pack_coords
 from ..core.plan import build_plan
 from ..core.sparse_tensor import SparseVoxelTensor
 
@@ -28,30 +35,42 @@ def make_sharded_forward(
     mesh: Mesh,
     axis: str = "dp",
     precision: str = "float32",
+    level_capacity_factor: float = 1.0,
 ):
-    """Returns fn(coords [D,cap,4], feats [D,cap,C], valid [D,cap]) ->
-    (preds dict [D,cap,...], sorted_feats [D,cap,C], active [D,cap])."""
+    """Returns fn(coords [D,cap,4], xyz [D,cap,3], valid [D,cap]) ->
+    (preds dict [D,cap,...], order [D,cap] int32, active [D,cap],
+     counts [D,levels], caps [D,levels])."""
     levels = len(model.unet_planes)
 
-    def per_shard(coords, feats, valid):
-        coords, feats, valid = coords[0], feats[0], valid[0]
+    def per_shard(coords, xyz, valid):
+        coords, xyz, valid = coords[0], xyz[0], valid[0]
         with jax.default_matmul_precision(precision):
-            x = SparseVoxelTensor.from_coords(
-                coords, feats, spatial_shape, device_batch, valid=valid
+            keys = pack_coords(coords, spatial_shape, device_batch, valid=valid)
+            order = jnp.argsort(keys, stable=True)
+            skeys = keys[order]
+            active = skeys != INVALID_KEY
+            feats = jnp.where(active[:, None], xyz[order], 0)
+            x = SparseVoxelTensor(
+                keys=skeys, feats=feats, active=active,
+                spatial_shape=spatial_shape, batch_size=device_batch,
             )
-            plan = build_plan(x, levels)
-            preds = model.apply(variables, plan, x.feats[:, :3], train=False)
+            plan = build_plan(x, levels, level_capacity_factor=level_capacity_factor)
+            preds = model.apply(variables, plan, x.feats, train=False)
+            counts = jnp.stack([lv.count for lv in plan.levels])
+            caps = jnp.asarray([lv.keys.shape[0] for lv in plan.levels])
         return (
             jax.tree.map(lambda a: a[None], preds),
-            x.feats[None],
-            x.active[None],
+            order[None].astype(jnp.int32),
+            active[None],
+            counts[None],
+            caps[None],
         )
 
     sharded = jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -59,7 +78,8 @@ def make_sharded_forward(
 
 def stack_device_batches(batches, n_dev: int):
     """Group VoxelBatches into [n_dev, ...] stacks (pad by repeating the
-    last batch; its outputs are discarded via the returned mask)."""
+    last batch; padded rows are dropped via the returned keep mask).
+    All batches in `batches` must share one (capacity, spatial, batch)."""
     groups = []
     for start in range(0, len(batches), n_dev):
         chunk = list(batches[start : start + n_dev])
@@ -67,9 +87,8 @@ def stack_device_batches(batches, n_dev: int):
         while len(chunk) < n_dev:
             chunk.append(chunk[-1])
         coords = np.stack([b.coords for b in chunk])
-        feats = np.stack([b.feats for b in chunk])
+        xyz = np.stack([b.feats[:, :3] for b in chunk])
         valid = np.stack([b.valid for b in chunk])
-        mask = np.stack([b.mask for b in chunk])
         keep = np.arange(n_dev) < real
-        groups.append((coords, feats, valid, mask, keep))
+        groups.append((chunk, coords, xyz, valid, keep))
     return groups

@@ -40,6 +40,8 @@ class SampleTreeResult(NamedTuple):
     branch_ids: jax.Array     # [N] int32 owning branch per allocated vertex
     branch_parents: jax.Array  # [maxB] int32 parent branch id
     branch_count: jax.Array   # scalar int32
+    hop_cap_hits: jax.Array   # scalar int32: traces truncated at hop_cap
+    branch_cap_hit: jax.Array  # scalar bool: loop stopped with work left
 
 
 @partial(jax.jit, static_argnames=("hop_cap",))
@@ -99,6 +101,7 @@ def sample_tree_device(
         path_pos: jax.Array
         parents: jax.Array
         count: jax.Array
+        hop_hits: jax.Array
 
     init = _S(
         dist=dist0,
@@ -108,6 +111,7 @@ def sample_tree_device(
         path_pos=jnp.full((n,), -1, jnp.int32),
         parents=jnp.full((max_branches,), -1, jnp.int32),
         count=jnp.zeros((), jnp.int32),
+        hop_hits=jnp.zeros((), jnp.int32),
     )
 
     def cond(s: _S):
@@ -116,6 +120,13 @@ def sample_tree_device(
     def body(s: _S):
         farthest = jnp.argmax(s.dist).astype(jnp.int32)
         path, length, term = trace_route(preds, farthest, s.allocated, hop_cap)
+        # a trace that stopped only because of the hop cap (still mid-tree,
+        # termination vertex unallocated) silently truncated a path — count it
+        hop_hit = (
+            (length >= hop_cap)
+            & (term >= 0)
+            & ~s.allocated[jnp.maximum(term, 0)]
+        )
         pvalid = path >= 0
         psafe = jnp.maximum(path, 0)
         path_pts = medial_pts[psafe]
@@ -150,7 +161,8 @@ def sample_tree_device(
             jnp.where(make_branch, parent, s.parents[jnp.maximum(bid, 0)])
         )
         count = s.count + make_branch.astype(jnp.int32)
-        return _S(dist, allocated, branch_ids, path_branch, path_pos, parents, count)
+        return _S(dist, allocated, branch_ids, path_branch, path_pos, parents,
+                  count, s.hop_hits + hop_hit.astype(jnp.int32))
 
     out = jax.lax.while_loop(cond, body, init)
     return SampleTreeResult(
@@ -159,6 +171,8 @@ def sample_tree_device(
         branch_ids=out.branch_ids,
         branch_parents=out.parents,
         branch_count=out.count,
+        hop_cap_hits=out.hop_hits,
+        branch_cap_hit=(jnp.max(out.dist) > 0) & (out.count >= max_branches),
     )
 
 
@@ -170,14 +184,30 @@ def sample_tree(
     component_mask,
     hop_cap: int = 2048,
     max_branches: int = 4096,
+    strict: bool = True,
 ) -> Dict[int, BranchSkeleton]:
-    """Host wrapper: run the device loop, pull once, assemble branches."""
+    """Host wrapper: run the device loop, pull once, assemble branches.
+
+    strict=True (default) raises when either static cap truncated real work
+    (mirroring the inference overflow raise, infer/inference.py:205-210);
+    strict=False keeps the truncated result."""
     medial_pts = jnp.asarray(medial_pts, jnp.float32)
     radii = jnp.asarray(medial_radii, jnp.float32).reshape(-1)
     res = sample_tree_device(
         medial_pts, radii, jnp.asarray(preds), jnp.asarray(distances),
         jnp.asarray(component_mask), hop_cap, max_branches,
     )
+    if strict:
+        if int(res.hop_cap_hits):
+            raise RuntimeError(
+                f"sample_tree: {int(res.hop_cap_hits)} trace(s) truncated at "
+                f"hop_cap={hop_cap}; raise hop_cap"
+            )
+        if bool(res.branch_cap_hit):
+            raise RuntimeError(
+                f"sample_tree: unallocated vertices remain at "
+                f"max_branches={max_branches}; raise max_branches"
+            )
     path_branch = np.asarray(res.path_branch)
     path_pos = np.asarray(res.path_pos)
     parents = np.asarray(res.branch_parents)

@@ -28,10 +28,34 @@ import numpy as np
 
 from ..data.cloud import Cloud
 from ..data.tree import DisjointTreeSkeleton, TreeSkeleton
-from ..graph import component_sizes, connected_components, sssp, tree_distances
+from ..graph import (
+    component_sizes,
+    connected_components,
+    sssp_multi,
+    tree_distances,
+)
 from .filter import outlier_removal
 from .graph import nn_graph
 from .path import sample_tree
+
+
+@jax.jit
+def _component_roots(labels, keep, y, comp_ids):
+    """Lowest-y surface vertex per component, all components at once.
+
+    Two O(N) scatter-mins instead of a per-component argmin loop: first the
+    min y per label bucket, then the min vertex id among that component's
+    y-minimizers."""
+    n = y.shape[0]
+    safe_l = jnp.clip(labels, 0, n - 1)
+    ymin = jnp.full((n,), jnp.inf).at[safe_l].min(jnp.where(keep, y, jnp.inf))
+    is_min = keep & (y == ymin[safe_l])
+    vid = jnp.arange(n, dtype=jnp.int32)
+    root_of = jnp.full((n,), n, jnp.int32).at[safe_l].min(
+        jnp.where(is_min, vid, n)
+    )
+    roots = root_of[jnp.clip(comp_ids, 0, n - 1)]
+    return jnp.where((comp_ids >= 0) & (roots < n), roots, -1)
 
 log = logging.getLogger(__name__)
 
@@ -44,6 +68,7 @@ class Skeletonizer:
     hop_cap: int = 4096
     max_components: int = 64
     max_branches: int = 1024
+    strict: bool = True  # raise on hop/branch-cap truncation (see path.py)
 
     def forward(self, cloud: Cloud) -> DisjointTreeSkeleton:
         cloud = cloud.device()
@@ -72,23 +97,29 @@ class Skeletonizer:
         comp_ids = np.nonzero(sizes_np >= self.minimum_graph_vertices)[0]
         comp_ids = comp_ids[np.argsort(-sizes_np[comp_ids])][: self.max_components]
 
-        labels_dev = labels
+        # roots = lowest-y *surface* point per component (Cloud.root_idx
+        # convention, reference cloud.py:204-206), ALL components at once,
+        # then ONE multi-source SSSP solves every component's path tree
+        # simultaneously (components are vertex-disjoint) — the reference
+        # loops cugraph.sssp per component (skeletonize.py:73-85)
+        comp_pad = np.full((self.max_components,), -1, np.int64)
+        comp_pad[: len(comp_ids)] = comp_ids
+        roots = _component_roots(
+            labels, keep, xyz[:, 1], jnp.asarray(comp_pad, jnp.int32)
+        )
+        dist, preds = sssp_multi(
+            graph.edges, graph.weights, graph.valid, roots, n
+        )
+        # predecessor forest with euclidean medial-space step weights
+        # (reference shortest_path.py:46-56 + second sssp)
+        step = jnp.linalg.norm(
+            medial_pts - medial_pts[jnp.maximum(preds, 0)], axis=1
+        )
+        root_dist = tree_distances(preds, step, n)
+
         skeletons: List[TreeSkeleton] = []
         for skeleton_id, comp in enumerate(comp_ids):
-            comp_mask = (labels_dev == int(comp)) & keep
-            # root = lowest-y *surface* point of the component
-            # (Cloud.root_idx convention, reference cloud.py:204-206)
-            y = jnp.where(comp_mask, xyz[:, 1], jnp.inf)
-            root = jnp.argmin(y).astype(jnp.int32)
-
-            dist, preds = sssp(graph.edges, graph.weights, graph.valid, root, n)
-            # predecessor tree with euclidean medial-space step weights
-            # (reference shortest_path.py:46-56 + second sssp)
-            step = jnp.linalg.norm(
-                medial_pts - medial_pts[jnp.maximum(preds, 0)], axis=1
-            )
-            root_dist = tree_distances(preds, step, n)
-
+            comp_mask = (labels == int(comp)) & keep
             branches = sample_tree(
                 medial_pts,
                 radii,
@@ -97,6 +128,7 @@ class Skeletonizer:
                 comp_mask,
                 hop_cap=self.hop_cap,
                 max_branches=self.max_branches,
+                strict=self.strict,
             )
             log.info(
                 "component %d: %d vertices -> %d branches",

@@ -54,7 +54,8 @@ def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True
                 # has data (capacity padding keeps shapes static anyway)
                 chunk = idxs[:1]
             items = [dataset.item(i) for i in chunk]
-            vb = collate(items, per_dev_items, capacity=cap)
+            # warn (not raise): one oversized crop must not kill a long run
+            vb = collate(items, per_dev_items, capacity=cap, on_overflow="warn")
             subs.append(vb)
         yield (
             np.stack([s.coords for s in subs]),
@@ -204,6 +205,57 @@ def main(argv=None) -> int:
             log.info("early stop at epoch %d", epoch)
             break
     return 0
+
+
+def fit_smoke(cloud, steps: int = 6, capacity: int = 8192, lr: float = 0.01,
+              planes=(8, 16, 32), voxel_size: float = 0.01):
+    """Overfit a few DP train steps on ONE cloud and return the per-step
+    total losses — a fast train-path smoke/regression probe (used by the
+    real-TPU backend tests; also handy for bisecting training breakage)."""
+    from ..data.dataset import collate, voxelize_host
+
+    xyz = np.asarray(cloud.xyz, np.float32)
+    targets = np.concatenate(
+        [
+            np.asarray(cloud.radius).reshape(-1, 1).astype(np.float32),
+            np.asarray(cloud.direction).astype(np.float32),
+            np.asarray(cloud.class_l).reshape(-1, 1).astype(np.float32),
+        ],
+        axis=1,
+    )
+    coords, data = voxelize_host(xyz, np.concatenate([xyz, targets], 1), voxel_size)
+    vb = collate([(coords, data[:, :3], data[:, 3:], "smoke")], 1, capacity=capacity)
+
+    model = SmartTree(
+        input_channels=3,
+        unet_planes=tuple(planes),
+        radius_fc_planes=(planes[0], 4, 1),
+        direction_fc_planes=(planes[0], 4, 3),
+        class_fc_planes=(planes[0], 4, 2),
+        bn_axis_name="dp",
+    )
+    variables = init_template(model)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    optimizer = optax.adam(lr)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step_fn = make_dp_train_step(model, optimizer, vb.spatial_shape, 1, mesh)
+
+    def tile(a):
+        a = np.asarray(a)
+        return jnp.asarray(np.broadcast_to(a[None], (n_dev,) + a.shape).copy())
+
+    args = tuple(tile(a) for a in (vb.coords, vb.feats, vb.targets, vb.mask, vb.valid))
+    losses = []
+    for _ in range(steps):
+        state, l = step_fn(state, *args)
+        losses.append(float(sum(np.asarray(v) for v in l.values())))
+    return np.asarray(losses)
 
 
 def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int) -> None:

@@ -45,40 +45,36 @@ def cube_filter(points, center, cube_size) -> np.ndarray:
     return np.logical_and(points >= mn, points < mx).all(axis=1)
 
 
-def vertex_dirs(points) -> np.ndarray:
-    """Smoothed per-vertex tangents along a polyline
-    (reference maths.py:158-165)."""
-    d = points[1:] - points[:-1]
-    d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
-    if len(d) == 1:
-        return np.concatenate([d, d])
-    smooth = (d[1:] + d[:-1]) * 0.5
-    dirs = np.concatenate([d[0:1], smooth, d[-1:]])
-    return dirs / np.maximum(np.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
+def polyline_frames(points) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Orthonormal (tangent, normal, binormal) frames along a polyline,
+    fully vectorized (serves the role of the reference's sequential
+    parallel-transport loop, maths.py:173-186, for tube meshing).
 
+    Tangents are central differences. Instead of transporting a normal
+    vertex-by-vertex, all normals come from ONE shared reference axis: the
+    right-singular vector of the tangent matrix with the smallest singular
+    value — the direction least aligned with the whole tangent bundle —
+    projected onto each tangent's normal plane. One BLAS pass, no Python
+    loop, and the frames vary continuously wherever the polyline does.
+    """
+    p = np.asarray(points, np.float64)
+    seg = np.diff(p, axis=0)
+    seg = seg / np.maximum(np.linalg.norm(seg, axis=1, keepdims=True), 1e-12)
+    t = np.empty_like(p)
+    t[0], t[-1] = seg[0], seg[-1]
+    if len(seg) > 1:
+        t[1:-1] = seg[:-1] + seg[1:]
+    t = t / np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-12)
 
-def random_unit(rng=None, dtype=np.float32) -> np.ndarray:
-    rng = rng or np.random.default_rng()
-    x = rng.normal(size=3).astype(dtype)
-    return x / np.linalg.norm(x)
-
-
-def make_tangent(d, n) -> np.ndarray:
-    t = np.cross(d, n)
-    norm = np.linalg.norm(t, axis=-1, keepdims=True)
-    if np.any(norm < 1e-9):
-        n2 = random_unit()
-        t = np.cross(d, n2)
-        norm = np.linalg.norm(t, axis=-1, keepdims=True)
-    t = t / norm
-    return np.cross(t, d)
-
-
-def gen_tangents(dirs, t0) -> np.ndarray:
-    """Parallel-transport frames along a polyline (reference maths.py:179-186)."""
-    tangents = []
-    t = t0
-    for d in dirs:
-        t = make_tangent(d, t)
-        tangents.append(t)
-    return np.stack(tangents)
+    _, _, vt = np.linalg.svd(t, full_matrices=False)
+    ref = vt[-1]
+    n = ref[None, :] - t * (t @ ref)[:, None]
+    bad = np.linalg.norm(n, axis=1) < 1e-6
+    if np.any(bad):
+        # a tangent (anti)parallel to ref: fall back to the next-least
+        # aligned axis for those vertices only
+        alt = vt[-2] if vt.shape[0] > 1 else np.roll(ref, 1)
+        n[bad] = alt[None, :] - t[bad] * (t[bad] @ alt)[:, None]
+    n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    b = np.cross(t, n)
+    return (t.astype(np.float32), n.astype(np.float32), b.astype(np.float32))

@@ -22,9 +22,14 @@ def _nearest_tube(pts, a, b, r1, r2):
     idx [N] of that tube, radius [N] at the projection)."""
     ab = b - a  # [M,3]
     ap = pts[:, None, :] - a[None, :, :]  # [N,M,3]
-    denom = jnp.einsum("md,md->m", ab, ab)
+    # contraction dim is 3 — no MXU upside, and the TPU default would round
+    # metre coordinates to bf16 (~cm projection error); force full fp32
+    hi = jax.lax.Precision.HIGHEST
+    denom = jnp.einsum("md,md->m", ab, ab, precision=hi)
     t = jnp.clip(
-        jnp.einsum("nmd,md->nm", ap, ab) / (denom + 1e-12), 0.0, 1.0
+        jnp.einsum("nmd,md->nm", ap, ab, precision=hi) / (denom + 1e-12),
+        0.0,
+        1.0,
     )  # [N,M]
     proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]  # [N,M,3]
     r = (1 - t) * r1[None, :] + t * r2[None, :]  # [N,M]

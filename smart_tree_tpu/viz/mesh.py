@@ -1,7 +1,9 @@
-"""Host-side tube meshing — numpy rebuild of reference
-smart_tree/o3d_abstractions/geometries.py:155-235 (unit circles swept along
-parallel-transport tangent frames), independent of Open3D. Output feeds the
-PLY writers in data/file.py."""
+"""Host-side tube meshing (fills the role of the reference's Open3D geometry
+builders, smart_tree/o3d_abstractions/geometries.py:155-235) — original
+vectorized formulation: one circular cross-section per skeleton vertex in the
+SVD-reference frames of utils.maths.polyline_frames, stitched ring-to-ring
+with quad strips. Independent of Open3D; output feeds the PLY writers in
+data/file.py."""
 
 from __future__ import annotations
 
@@ -10,44 +12,38 @@ from typing import Tuple
 import numpy as np
 
 from ..data.tree import DisjointTreeSkeleton, TreeSkeleton
-from ..utils.maths import gen_tangents, random_unit, vertex_dirs
+from ..utils.maths import polyline_frames
 
 
-def unit_circle(n: int) -> np.ndarray:
-    a = np.linspace(0, 2 * np.pi, n + 1)[:-1]
-    return np.stack([np.sin(a), np.cos(a)], axis=1)
+def tube_rings(points: np.ndarray, radii: np.ndarray, n: int = 10) -> np.ndarray:
+    """[R, n, 3] circles of the given radii perpendicular to the polyline."""
+    _, nrm, bnm = polyline_frames(points)
+    ang = np.arange(n) * (2.0 * np.pi / n)
+    ring = (
+        nrm[:, None, :] * np.cos(ang)[None, :, None]
+        + bnm[:, None, :] * np.sin(ang)[None, :, None]
+    )
+    r = np.asarray(radii, np.float32).reshape(-1, 1, 1)
+    return np.asarray(points, np.float32)[:, None, :] + r * ring.astype(np.float32)
 
 
-def cylinder_triangles(m: int, n: int) -> np.ndarray:
-    tri1 = np.array([0, 1, 2])
-    tri2 = np.array([2, 3, 0])
-    v0 = np.arange(m)
-    v1 = (v0 + 1) % m
-    v2 = v1 + m
-    v3 = v0 + m
-    edges = np.stack([v0, v1, v2, v3], axis=1)
-    segments = np.arange(n - 1) * m
-    edges = edges.reshape(1, *edges.shape) + segments.reshape(n - 1, 1, 1)
-    edges = edges.reshape(-1, 4)
-    return np.concatenate([edges[:, tri1], edges[:, tri2]])
-
-
-def tube_vertices(points: np.ndarray, radii: np.ndarray, n: int = 10) -> np.ndarray:
-    circle = unit_circle(n).astype(np.float32)
-    dirs = vertex_dirs(points)
-    t = gen_tangents(dirs, random_unit(np.random.default_rng(0)))
-    b = np.stack([t, np.cross(t, dirs)], axis=1)
-    b = b * radii.reshape(-1, 1, 1)
-    return np.einsum("bdx,md->bmx", b, circle) + points.reshape(len(points), 1, 3)
+def ring_strip_triangles(n_rings: int, m: int) -> np.ndarray:
+    """Index buffer stitching consecutive m-vertex rings: each quad between
+    spoke i of ring k and spoke i+1 of ring k+1 splits along its diagonal."""
+    i = np.arange(m)
+    j = (i + 1) % m
+    base = (np.arange(n_rings - 1) * m)[:, None]
+    a, b = base + i, base + j
+    c, d = base + j + m, base + i + m
+    quads = np.stack([np.stack([a, b, c], -1), np.stack([a, c, d], -1)], axis=2)
+    return quads.reshape(-1, 3)
 
 
 def branch_tube_mesh(
     xyz: np.ndarray, radii: np.ndarray, n: int = 10
 ) -> Tuple[np.ndarray, np.ndarray]:
-    pts = tube_vertices(np.asarray(xyz, np.float32), np.asarray(radii).reshape(-1), n)
-    rings, m, _ = pts.shape
-    tris = cylinder_triangles(m, rings)
-    return pts.reshape(-1, 3), tris
+    rings = tube_rings(xyz, np.asarray(radii).reshape(-1), n)
+    return rings.reshape(-1, 3), ring_strip_triangles(len(rings), n)
 
 
 def skeleton_tube_mesh(

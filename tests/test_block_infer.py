@@ -1,5 +1,6 @@
 """Block-parallel inference over the 8-virtual-device CPU mesh: outputs
-must match the single-device forward exactly."""
+must match the single-device forward exactly, both at the kernel level and
+through the full ModelInference product surface (VERDICT round-1 item 4)."""
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +36,10 @@ def test_sharded_forward_matches_single_device():
     feats = rng.normal(size=(n_dev, cap, 3)).astype(np.float32)
     valid = rng.uniform(size=(n_dev, cap)) > 0.2
 
-    preds, sorted_feats, active = fwd(
+    preds, order, active, counts, caps = fwd(
         jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid)
     )
+    assert counts.shape == (n_dev, 2) and caps.shape == (n_dev, 2)
 
     # reference: run each device slice independently
     for d in range(n_dev):
@@ -53,3 +55,48 @@ def test_sharded_forward_matches_single_device():
                 err_msg=f"device {d} key {k}",
             )
         np.testing.assert_array_equal(np.asarray(active[d]), np.asarray(x.active))
+        # the returned permutation reproduces the device's sorted features
+        od = np.asarray(order[d])
+        np.testing.assert_allclose(
+            np.where(np.asarray(active[d])[:, None], feats[d][od], 0),
+            np.asarray(x.feats),
+            atol=0,
+        )
+
+
+def test_model_inference_multichip_equals_single(tmp_path, monkeypatch):
+    """Full ModelInference: the multichip block-sharded path (taken
+    automatically when len(jax.devices()) > 1) must produce the same point
+    set and predictions as the single-device path."""
+    from smart_tree_tpu.data.augmentations import CentreCloud
+    from smart_tree_tpu.data.synthetic import generate_tree
+    from smart_tree_tpu.infer import inference as inf_mod
+    from smart_tree_tpu.infer.inference import ModelInference
+
+    cloud, _ = generate_tree(seed=21, height=6.0, trunk_radius=0.12,
+                             points_per_m2=800.0)
+    cloud = CentreCloud()(cloud)
+    mi = ModelInference("smart_tree_tpu/weights/synthetic-v3.npz", batch_size=2)
+
+    assert len(jax.devices()) == 8  # conftest CPU mesh
+    lc_multi = mi.forward(cloud)
+
+    # force the single-device path
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(inf_mod.jax, "devices", lambda: [dev0])
+    lc_single = mi.forward(cloud)
+
+    assert len(lc_multi.xyz) == len(lc_single.xyz)
+    om = np.lexsort(np.asarray(lc_multi.xyz).T)
+    os_ = np.lexsort(np.asarray(lc_single.xyz).T)
+    np.testing.assert_allclose(
+        np.asarray(lc_multi.xyz)[om], np.asarray(lc_single.xyz)[os_], atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(lc_multi.medial_vector)[om],
+        np.asarray(lc_single.medial_vector)[os_],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lc_multi.class_l)[om], np.asarray(lc_single.class_l)[os_]
+    )

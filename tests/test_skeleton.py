@@ -47,8 +47,10 @@ def test_skeletonizer_recovers_synthetic_tree():
     cloud, gt_skel = generate_tree(
         seed=3, height=4.0, trunk_radius=0.12, points_per_m2=4000.0, max_depth=2
     )
+    # hop_cap 1024 silently truncated one trace in round 1 (mm vertex
+    # spacing -> thousands of hops tip-to-root); strict mode now catches it
     sk = Skeletonizer(K=16, min_connection_length=0.02, minimum_graph_vertices=32,
-                      hop_cap=1024)
+                      hop_cap=8192)
     out = sk.forward(cloud.device())
     assert len(out.skeletons) >= 1
     main = out.skeletons[0]
@@ -81,7 +83,7 @@ def test_skeletonizer_separates_disjoint_trees():
     xyz = np.concatenate([np.asarray(c1.xyz), np.asarray(c2.xyz) + [5.0, 0, 0]])
     mv = np.concatenate([np.asarray(c1.medial_vector), np.asarray(c2.medial_vector)])
     cloud = Cloud(xyz=xyz, medial_vector=mv)
-    sk = Skeletonizer(K=16, minimum_graph_vertices=32, hop_cap=512)
+    sk = Skeletonizer(K=16, minimum_graph_vertices=32, hop_cap=4096)
     out = sk.forward(cloud.device())
     # at least one skeleton per spatial cluster; sparse branch tips may
     # split off extra components, but none may span the 5 m gap

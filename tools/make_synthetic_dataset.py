@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--per-family", type=int, default=10)
     ap.add_argument("--points-per-m2", type=float, default=4000.0)
     ap.add_argument("--foliage", type=int, default=4000)
+    ap.add_argument(
+        "--vary",
+        action="store_true",
+        help="randomize density/noise/foliage per tree (log-uniform around "
+        "the nominal values) so the model can't key on one sampling pattern",
+    )
     args = ap.parse_args()
 
     out = Path(args.out_dir)
@@ -41,10 +47,19 @@ def main():
     seed = 0
     for fam, kw in FAMILIES.items():
         for i in range(args.per_family):
+            pts = args.points_per_m2
+            fol = args.foliage
+            noise = 0.002
+            if args.vary:
+                vrng = np.random.default_rng(10_000 + seed)
+                pts = float(args.points_per_m2 * np.exp(vrng.uniform(-0.9, 0.9)))
+                fol = int(args.foliage * np.exp(vrng.uniform(-0.9, 0.9)))
+                noise = float(vrng.uniform(0.001, 0.004))
             cloud, skel = generate_tree(
                 seed=seed,
-                points_per_m2=args.points_per_m2,
-                foliage_points=args.foliage,
+                points_per_m2=pts,
+                foliage_points=fol,
+                noise=noise,
                 **kw,
             )
             name = f"{fam}_{i:03d}.npz"
