@@ -78,12 +78,42 @@ def main() -> int:
         jax.profiler.stop_trace()
         print(f"# trace written to {profile_dir}", file=sys.stderr)
 
+    # device-only metric: warm jitted step time on pre-staged device inputs
+    # (voxel sort + rulebooks + full UNet forward; excludes host tiling and
+    # the host<->device tunnel, which dominates end-to-end in this dev
+    # environment — BASELINE.md "tunnel-bound" note). This is the number
+    # that transfers to production hosts with real PCIe/ICI bandwidth.
+    import jax
+
+    from smart_tree_tpu.data.dataset import BlockTiler
+
+    tiler = BlockTiler(cloud.host(), 0.01, 4.0, 0.4)
+    dev_total_s = 0.0
+    dev_reps = 5
+    for vb in tiler.batches(4):
+        run = mi._compiled(len(vb.coords), vb.spatial_shape, vb.batch_size)
+        import jax.numpy as jnp
+
+        args = (mi.variables, jnp.asarray(vb.coords),
+                jnp.asarray(vb.feats[:, :3]), jnp.asarray(vb.valid))
+        jax.block_until_ready(run(*args))  # warm + stage inputs on device
+        t0 = time.perf_counter()
+        for _ in range(dev_reps):
+            jax.block_until_ready(run(*args))
+        dev_total_s += (time.perf_counter() - t0) / dev_reps
+    device_pps = n_points / dev_total_s
+
     pps = n_points / dt
     out = {
         "metric": "sparse-unet inference points/sec",
         "value": round(pps, 1),
         "unit": "points/sec",
         "vs_baseline": round(pps / CPU_BASELINE_POINTS_PER_SEC, 2),
+        "device_step_s": round(dev_total_s, 4),
+        "device_points_per_sec": round(device_pps, 1),
+        "device_vs_cpu_baseline": round(device_pps / CPU_BASELINE_POINTS_PER_SEC, 2),
+        "n_points": n_points,
+        "end_to_end_s": round(dt, 3),
     }
     print(json.dumps(out))
     return 0

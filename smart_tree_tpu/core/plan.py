@@ -17,7 +17,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from .coords import INVALID_KEY
-from .rulebook import downsample_coords, inverse_rulebook, strided_rulebook, subm_rulebook
+from .rulebook import (
+    downsample_coords,
+    inverse_rulebook,
+    strided_rulebook,
+    subm_rulebook,
+    subm_rulebook9,
+)
 from .sparse_tensor import SparseVoxelTensor
 
 
@@ -25,7 +31,7 @@ from .sparse_tensor import SparseVoxelTensor
 class LevelPlan:
     keys: jax.Array        # [N_l] sorted voxel keys of this level
     active: jax.Array      # [N_l] bool
-    subm_rb: jax.Array     # [N_l, 27] submanifold rulebook (into this level)
+    subm_rb: jax.Array     # SubmRB9 (default) or [N_l, 27] full rulebook
     down_rb: jax.Array | None   # [N_{l+1}, 27] strided conv gather (into next)
     up_rb: jax.Array | None     # [N_l, 27] inverse conv gather (from next)
     count: jax.Array       # scalar int32 active voxels (overflow check)
@@ -43,6 +49,7 @@ def build_plan(
     num_levels: int,
     level_capacity_factor: float = 1.0,
     min_capacity: int = 256,
+    subm_mode: str = "z9",
 ) -> UNetPlan:
     """Build rulebooks for `num_levels` UNet levels (len(unet_planes)).
 
@@ -51,7 +58,10 @@ def build_plan(
     inputs (each input touches up to 8 coarse cells and sparse data may not
     dedup them), so the safe default is 1.0; every LevelPlan carries `count`
     so callers can detect overflow (see check_plan / plan counts in
-    infer/inference.py)."""
+    infer/inference.py).
+
+    subm_mode: "z9" (default — compact z-window rulebook, 8 searchsorteds +
+    9 wide gathers per level) or "full" ([N,27] lookup rulebook)."""
     levels: List[LevelPlan] = []
     keys = x.keys
     shape = x.spatial_shape
@@ -60,7 +70,10 @@ def build_plan(
     for lvl in range(num_levels):
         active = keys != INVALID_KEY
         count = jnp.sum(active.astype(jnp.int32))
-        srb = subm_rulebook(keys, shape, batch, 3)
+        if subm_mode == "z9":
+            srb = subm_rulebook9(keys, shape, batch)
+        else:
+            srb = subm_rulebook(keys, shape, batch, 3)
         if lvl < num_levels - 1:
             next_cap = max(int(cap * level_capacity_factor), min_capacity)
             out_keys, out_shape, out_count = downsample_coords(

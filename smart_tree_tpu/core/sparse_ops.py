@@ -23,23 +23,31 @@ import jax
 import jax.numpy as jnp
 
 from . import pallas_ops
+from .coords import INVALID_KEY
+from .rulebook import SubmRB9
 
 
 def gather_conv(
     feats: jax.Array,
-    rulebook: jax.Array,
+    rulebook,
     weights: jax.Array,
     *,
+    keys: jax.Array | None = None,
     precision=None,
     use_pallas: bool | None = None,
 ) -> jax.Array:
     """Apply a sparse conv given a gather rulebook.
 
     feats:    [N, Cin]   (zero rows at padding)
-    rulebook: [M, K3]    int32 rows into feats, -1 = missing
+    rulebook: [M, K3] int32 rows into feats (-1 = missing), or a SubmRB9
+              (compact z-window form, carries its level's keys)
     weights:  [K3, Cin, Cout]
     returns:  [M, Cout]
     """
+    if isinstance(rulebook, SubmRB9):
+        return _gather_conv_z(
+            feats, rulebook.keys, rulebook, weights, precision=precision
+        )
     n = feats.shape[0]
     k3, cin, cout = weights.shape
     if use_pallas is None:
@@ -51,6 +59,71 @@ def gather_conv(
     g = feats_ext[idx]  # [M, K3, Cin]
     g2 = g.reshape(g.shape[0], k3 * cin)
     w2 = weights.reshape(k3 * cin, cout)
+    return jnp.dot(
+        g2, w2, preferred_element_type=jnp.float32, precision=precision
+    ).astype(feats.dtype)
+
+
+def _gather_conv_z(
+    feats: jax.Array,
+    keys: jax.Array,
+    rb: SubmRB9,
+    weights: jax.Array,
+    *,
+    precision=None,
+) -> jax.Array:
+    """Submanifold conv from the compact z-window rulebook (subm_rulebook9).
+
+    Keys sort z fastest, so feats rows [pos-1, pos+1] around each (dx,dy,0)
+    insertion position hold every dz in {-1,0,+1} neighbor: 9 gathers of
+    3*Cin-wide windows replace 27 gathers of Cin-wide rows (TPU gathers are
+    row-latency-bound — fewer, wider rows win), and a tiny [3slot x 3dz]
+    key-match routing einsum restores exact spconv slot order before the
+    single MXU GEMM.
+    """
+    n, cin = feats.shape
+    k3, _, cout = weights.shape
+    assert k3 == 27 and keys is not None
+
+    z1 = jnp.zeros((1, cin), feats.dtype)
+    w3 = jnp.concatenate(
+        [
+            jnp.concatenate([z1, feats[:-1]], axis=0),   # row j-1
+            feats,                                        # row j
+            jnp.concatenate([feats[1:], z1], axis=0),     # row j+1
+        ],
+        axis=1,
+    )  # [N, 3*Cin]
+    inv = jnp.asarray([INVALID_KEY], keys.dtype)
+    k3w = jnp.stack(
+        [
+            jnp.concatenate([inv, keys[:-1]]),
+            keys,
+            jnp.concatenate([keys[1:], inv]),
+        ],
+        axis=1,
+    )  # [N, 3]
+
+    posc = jnp.clip(rb.pos, 0, n - 1)           # [M, 9]
+    g = w3[posc].reshape(posc.shape[0], 9, 3, cin)   # [M, 9, 3slot, Cin]
+    kw = k3w[posc]                                # [M, 9, 3slot]
+
+    # target keys per dz; uint32 +-1 also walks the z field of the packed key
+    q = rb.qkey                                   # [M, 9]
+    dz = jnp.asarray([0xFFFFFFFF, 0, 1], q.dtype)  # -1 mod 2^32, 0, +1
+    tgt = q[..., None] + dz[None, None, :]
+    # z-field edge guards: at z=0 a -1 borrows into y, at z=zmax-1 (when
+    # zmax fills the field) a +1 carries into y — both could alias REAL keys
+    zq = (q & jnp.asarray((1 << rb.zbits) - 1, q.dtype)).astype(jnp.int32)
+    ok_dz = jnp.stack([zq >= 1, jnp.ones_like(zq, bool), zq + 1 < rb.zmax], axis=-1)
+    ok = ok_dz & (q != INVALID_KEY)[..., None]    # [M, 9, 3dz]
+
+    m = (kw[..., :, None] == tgt[..., None, :]) & ok[..., None, :]  # [M,9,3s,3d]
+    g27 = jnp.einsum(
+        "mosc,mosd->modc", g, m.astype(feats.dtype), precision=precision
+    )  # [M, 9, 3dz, Cin] — (dx,dy) kx-major x dz fastest == kernel_offsets order
+    g2 = g27.reshape(g27.shape[0], 27 * cin)
+    w2 = weights.reshape(27 * cin, cout)
     return jnp.dot(
         g2, w2, preferred_element_type=jnp.float32, precision=precision
     ).astype(feats.dtype)

@@ -31,6 +31,18 @@ from ..data.dataset import BlockTiler
 from ..nn.model import SmartTree
 
 
+def compress_preds(preds: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Shrink the device->host payload: fp16 radius/direction (sub-0.05%
+    relative error — geometrically nil at mm scales) and the class argmax as
+    int8 instead of full logits. ~2.2x fewer bytes over thin interconnects
+    (VERDICT round-1 item 3)."""
+    return {
+        "radius": preds["radius"].astype(jnp.float16),
+        "direction": preds["direction"].astype(jnp.float16),
+        "class_l": jnp.argmax(preds["class_l"], axis=1).astype(jnp.int8),
+    }
+
+
 def load_variables(weights_path) -> Dict:
     weights_path = Path(weights_path)
     if not weights_path.exists():
@@ -176,7 +188,7 @@ class ModelInference:
                 preds = model.apply(variables, plan, x.feats, train=False)
                 counts = jnp.stack([lv.count for lv in plan.levels])
                 caps = jnp.asarray([lv.keys.shape[0] for lv in plan.levels])
-                return preds, order.astype(jnp.int32), active, counts, caps
+                return compress_preds(preds), order.astype(jnp.int32), active, counts, caps
 
         return run
 
@@ -262,8 +274,8 @@ class ModelInference:
             order = np.asarray(order)
             keep = np.asarray(active) & vb.mask[order]
             out_xyzrgb.append(vb.feats[order[keep]][:, :6])
-            out_radius.append(np.asarray(preds["radius"])[keep])
-            out_dir.append(np.asarray(preds["direction"])[keep])
+            out_radius.append(np.asarray(preds["radius"]).astype(np.float32)[keep])
+            out_dir.append(np.asarray(preds["direction"]).astype(np.float32)[keep])
             out_class.append(np.asarray(preds["class_l"])[keep])
 
         if not out_xyzrgb:
@@ -281,6 +293,6 @@ class ModelInference:
             xyz=xyzrgb[:, :3],
             rgb=xyzrgb[:, 3:6],
             medial_vector=medial_vector,
-            class_l=np.argmax(class_l, axis=1, keepdims=True).astype(np.float32),
+            class_l=class_l.reshape(-1, 1).astype(np.float32),
             filename=cloud.filename,
         )

@@ -58,8 +58,10 @@ def make_sharded_forward(
             preds = model.apply(variables, plan, x.feats, train=False)
             counts = jnp.stack([lv.count for lv in plan.levels])
             caps = jnp.asarray([lv.keys.shape[0] for lv in plan.levels])
+        from ..infer.inference import compress_preds
+
         return (
-            jax.tree.map(lambda a: a[None], preds),
+            jax.tree.map(lambda a: a[None], compress_preds(preds)),
             order[None].astype(jnp.int32),
             active[None],
             counts[None],

@@ -66,14 +66,48 @@ def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True
         )
 
 
+def _prefetch(it, depth: int = 2):
+    """Run a host-side batch iterator in a background thread so numpy
+    augmentation/voxelization overlaps device compute (the reference gets
+    this from DataLoader workers, conf num_workers)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # surface errors in the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def run_epoch(step_fn, state, dataset, cfg, n_dev, spatial, train: bool):
     tracker = Tracker()
-    for batch in _device_batches(dataset, cfg, n_dev, spatial, shuffle=train):
+    batches = _prefetch(_device_batches(dataset, cfg, n_dev, spatial, shuffle=train))
+    pending = []  # small in-flight window: keeps dispatch ahead of the host
+    for batch in batches:  # without letting device buffers pile up unbounded
         arrs = tuple(jnp.asarray(a) for a in batch)
         if train:
             state, losses = step_fn(state, *arrs)
         else:
             losses = step_fn(state, *arrs)
+        pending.append(losses)
+        if len(pending) > 4:
+            tracker.update({k: float(v) for k, v in pending.pop(0).items()})
+    for losses in pending:
         tracker.update({k: float(v) for k, v in losses.items()})
     return state, tracker
 

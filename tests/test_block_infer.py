@@ -41,18 +41,22 @@ def test_sharded_forward_matches_single_device():
     )
     assert counts.shape == (n_dev, 2) and caps.shape == (n_dev, 2)
 
-    # reference: run each device slice independently
+    # reference: run each device slice independently (compare through the
+    # same fp16/int8 payload compression the sharded path applies)
+    from smart_tree_tpu.infer.inference import compress_preds
+
     for d in range(n_dev):
         x = SparseVoxelTensor.from_coords(
             jnp.asarray(coords[d]), jnp.asarray(feats[d]), (grid,) * 3, db,
             valid=jnp.asarray(valid[d]),
         )
         plan = build_plan(x, 2)
-        ref = model.apply(variables, plan, x.feats[:, :3], train=False)
+        ref = compress_preds(model.apply(variables, plan, x.feats[:, :3], train=False))
         for k in ref:
             np.testing.assert_allclose(
-                np.asarray(preds[k][d]), np.asarray(ref[k]), rtol=1e-5, atol=1e-6,
-                err_msg=f"device {d} key {k}",
+                np.asarray(preds[k][d]).astype(np.float32),
+                np.asarray(ref[k]).astype(np.float32),
+                rtol=2e-3, atol=1e-4, err_msg=f"device {d} key {k}",
             )
         np.testing.assert_array_equal(np.asarray(active[d]), np.asarray(x.active))
         # the returned permutation reproduces the device's sorted features
@@ -92,11 +96,14 @@ def test_model_inference_multichip_equals_single(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(lc_multi.xyz)[om], np.asarray(lc_single.xyz)[os_], atol=0
     )
+    # shard_map and single-device jit fuse differently; few-ulp fp32 drift
+    # crossing an fp16 rounding boundary flips values by ~0.05%
     np.testing.assert_allclose(
         np.asarray(lc_multi.medial_vector)[om],
         np.asarray(lc_single.medial_vector)[os_],
-        rtol=1e-5, atol=1e-6,
+        rtol=2e-3, atol=2e-4,
     )
-    np.testing.assert_array_equal(
-        np.asarray(lc_multi.class_l)[om], np.asarray(lc_single.class_l)[os_]
-    )
+    cls_agree = (
+        np.asarray(lc_multi.class_l)[om] == np.asarray(lc_single.class_l)[os_]
+    ).mean()
+    assert cls_agree > 0.995, cls_agree

@@ -184,3 +184,42 @@ def test_pallas_fused_gather_gemm_matches_xla():
     ref = gather_conv(feats, rb, w, use_pallas=False)
     got = pallas_ops.fused_gather_gemm(feats, rb, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_subm_rulebook9_conv_matches_full():
+    """The compact z-window rulebook (8 searchsorteds + 9 wide gathers) must
+    reproduce the full 27-column rulebook conv bit-for-bit."""
+    import jax.numpy as jnp
+
+    from smart_tree_tpu.core.rulebook import subm_rulebook, subm_rulebook9
+    from smart_tree_tpu.core.sparse_ops import gather_conv
+    from smart_tree_tpu.core.sparse_tensor import SparseVoxelTensor
+
+    rng = np.random.default_rng(7)
+    for shape, batch, n in [((16, 16, 16), 2, 300), ((8, 8, 8), 1, 64),
+                            ((32, 4, 4), 1, 100)]:
+        cap = 512
+        coords = np.concatenate(
+            [
+                rng.integers(0, batch, size=(n, 1)),
+                rng.integers(0, shape[0], size=(n, 1)),
+                rng.integers(0, shape[1], size=(n, 1)),
+                rng.integers(0, shape[2], size=(n, 1)),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        coords = np.unique(coords, axis=0)  # voxelizer guarantees uniqueness
+        coords = np.concatenate(
+            [coords, np.full((cap - len(coords), 4), -1, np.int32)], axis=0
+        )
+        feats = rng.normal(size=(cap, 8)).astype(np.float32)
+        st = SparseVoxelTensor.from_coords(
+            jnp.asarray(coords), jnp.asarray(feats), shape, batch,
+        )
+        w = rng.normal(size=(27, 8, 16)).astype(np.float32)
+
+        rb27 = subm_rulebook(st.keys, shape, batch, 3)
+        rb9 = subm_rulebook9(st.keys, shape, batch)
+        ref = np.asarray(gather_conv(st.feats, rb27, jnp.asarray(w)))
+        got = np.asarray(gather_conv(st.feats, rb9, jnp.asarray(w)))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
