@@ -48,6 +48,19 @@ class VoxelBatch(NamedTuple):
     spatial_shape: Tuple[int, int, int]
     batch_size: int
     filenames: tuple
+    origins: np.ndarray | None = None  # [batch_size, 3] f32 per-item grid origin
+    voxel_size: float = 0.0
+
+    def compressed_xyz_upload(self):
+        """Tunnel-friendly encoding of (coords, xyz): int16 coords plus fp16
+        residuals from voxel centres (~3x fewer bytes than int32+f32; the
+        residual is < voxel_size/2 + noise so fp16 keeps ~1e-5 m accuracy).
+        Requires feats[:, :3] == xyz and per-item origins."""
+        assert self.origins is not None and self.voxel_size > 0
+        b = np.clip(self.coords[:, 0], 0, len(self.origins) - 1)
+        centre = self.origins[b] + (self.coords[:, 1:] + 0.5) * self.voxel_size
+        res = (self.feats[:, :3] - centre).astype(np.float16)
+        return self.coords.astype(np.int16), res, self.origins.astype(np.float32)
 
 
 def _feature(cloud: Cloud, name: str) -> np.ndarray:
@@ -57,24 +70,26 @@ def _feature(cloud: Cloud, name: str) -> np.ndarray:
 
 def voxelize_host(
     xyz: np.ndarray, data: np.ndarray, voxel_size: float
-) -> Tuple[np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host dedup voxelizer: floor-quantize against min corner, keep the
     first point per voxel (np.unique semantics, matching the reference's
     PointToVoxel max_num_points_per_voxel=1 + sparse_quantize).
 
+    Returns (coords, data_of_survivors, grid_origin).
+
     Uses the native C++ hash dedup (smart_tree_tpu/native) when available —
     np.unique(axis=0) lexsorts structured rows and dominates host time at
     multi-million-point scale."""
-    origin = xyz.min(axis=0)
+    origin = xyz.min(axis=0).astype(np.float32)
     from .. import native
 
     nat = native.voxelize(xyz, voxel_size, origin)
     if nat is not None:
         coords, first = nat
-        return coords, data[first]
+        return coords, data[first], origin
     g = np.floor((xyz - origin) / voxel_size).astype(np.int32)
     _, first = np.unique(g, axis=0, return_index=True)
-    return g[first], data[first]
+    return g[first], data[first], origin
 
 
 class TreeDataset:
@@ -124,7 +139,7 @@ class TreeDataset:
 
     def item(self, idx: int):
         """One voxelized item: (coords [M,3] int32, input [M,Ci],
-        target [M,Ct], filename)."""
+        target [M,Ct], filename, grid_origin [3])."""
         cld = self.load(idx)
         if self.augmentation is not None:
             cld = self.augmentation(cld, self.rng)
@@ -136,9 +151,11 @@ class TreeDataset:
             [_feature(cld, n) for n in self.target_features], axis=1
         )
         data = np.concatenate([inputs, targets], axis=1)
-        coords, data = voxelize_host(np.asarray(cld.xyz, np.float32), data, self.voxel_size)
+        coords, data, origin = voxelize_host(
+            np.asarray(cld.xyz, np.float32), data, self.voxel_size
+        )
         ci = inputs.shape[1]
-        return coords, data[:, :ci], data[:, ci:], self.tree_paths[idx]
+        return coords, data[:, :ci], data[:, ci:], self.tree_paths[idx], origin
 
     def batches(
         self, batch_size: int, shuffle: bool = True, capacity: int | None = None
@@ -153,10 +170,15 @@ class TreeDataset:
 
 
 def collate(
-    items, batch_size: int, capacity: int | None = None, on_overflow: str = "raise"
+    items,
+    batch_size: int,
+    capacity: int | None = None,
+    on_overflow: str = "raise",
+    voxel_size: float = 0.0,
 ) -> VoxelBatch:
     """Stack per-item voxels into one padded batch with a batch-index
     column (reference sparse.py:40-61 batch_collate).
+    Items: (coords, inputs, targets, name[, origin]).
 
     A fixed `capacity` smaller than the voxel count is an ERROR by default —
     silent truncation would corrupt training targets invisibly. Pass
@@ -188,8 +210,12 @@ def collate(
     row = 0
     max_c = np.zeros(3, np.int64)
     names = []
+    origins = np.zeros((batch_size, 3), np.float32)
+    have_origins = len(items[0]) > 4
     for b, it in enumerate(items):
-        c, f, t, name = it
+        c, f, t, name = it[:4]
+        if have_origins:
+            origins[b] = it[4]
         names.append(name)
         n = len(c)
         if row + n > cap:
@@ -206,6 +232,8 @@ def collate(
         row += n
     shape = tuple(int(v) + 1 for v in max_c)
     return VoxelBatch(
+        origins=origins if have_origins else None,
+        voxel_size=voxel_size,
         feats=feats,
         targets=targets,
         coords=coords,
@@ -223,6 +251,7 @@ class Block:
     feats: np.ndarray      # [M,6] xyz+rgb of the surviving point
     interior: np.ndarray   # [M] bool: voxel centre inside the un-buffered cube
     spatial_shape: Tuple[int, int, int]
+    origin: np.ndarray     # [3] f32 block grid origin
 
 
 class BlockTiler:
@@ -260,12 +289,12 @@ class BlockTiler:
         for centre in self.block_centres:
             m = cube_filter(xyz, centre, block_size + 2 * buffer_size)
             bxyz, brgb = xyz[m], rgb[m]
-            coords, data = voxelize_host(
+            coords, data, origin = voxelize_host(
                 bxyz, np.concatenate([bxyz, brgb], axis=1), voxel_size
             )
             interior = cube_filter(data[:, :3], centre, block_size)
             shape = tuple(int(v) + 1 for v in coords.max(axis=0))
-            self.blocks.append(Block(coords, data, interior, shape))
+            self.blocks.append(Block(coords, data, interior, shape, origin))
 
     def __len__(self):
         return len(self.blocks)
@@ -277,11 +306,14 @@ class BlockTiler:
         order = np.argsort([len(b.coords) for b in self.blocks])
         for start in range(0, len(order), batch_size):
             chunk = [self.blocks[i] for i in order[start : start + batch_size]]
-            yield collate_blocks(chunk, batch_size, self.grid_shape)
+            yield collate_blocks(chunk, batch_size, self.grid_shape, self.voxel_size)
 
 
 def collate_blocks(
-    blocks: List[Block], batch_size: int, grid_shape: Tuple[int, int, int]
+    blocks: List[Block],
+    batch_size: int,
+    grid_shape: Tuple[int, int, int],
+    voxel_size: float = 0.0,
 ) -> VoxelBatch:
     total = sum(len(b.coords) for b in blocks)
     cap = _ceil_pow2(total)
@@ -289,6 +321,7 @@ def collate_blocks(
     feats = np.zeros((cap, blocks[0].feats.shape[1]), np.float32)
     mask = np.zeros(cap, bool)
     valid = np.zeros(cap, bool)
+    origins = np.zeros((batch_size, 3), np.float32)
     row = 0
     for b, blk in enumerate(blocks):
         n = len(blk.coords)
@@ -297,6 +330,7 @@ def collate_blocks(
         feats[row : row + n] = blk.feats
         mask[row : row + n] = blk.interior
         valid[row : row + n] = True
+        origins[b] = blk.origin
         row += n
     return VoxelBatch(
         feats=feats,
@@ -307,4 +341,6 @@ def collate_blocks(
         spatial_shape=grid_shape,
         batch_size=batch_size,  # static even for a short last batch
         filenames=(),
+        origins=origins,
+        voxel_size=voxel_size,
     )

@@ -166,15 +166,25 @@ class ModelInference:
         factor = self.level_capacity_factor
         levels = len(model.unet_planes)
 
+        voxel = self.voxel_size
+
         @jax.jit
-        def run(variables, coords, xyz, valid):
-            """Transfer-minimal forward: uploads coords + xyz only; returns
-            the sort permutation instead of permuted features so the host
-            applies it to its own arrays (rgb, interior mask) locally —
-            host<->device traffic is the bottleneck on thin interconnects."""
+        def run(variables, coords16, res16, origins, valid):
+            """Transfer-minimal forward: uploads int16 coords + fp16 voxel
+            residuals (xyz reconstructed on device) and returns the sort
+            permutation instead of permuted features so the host applies it
+            to its own arrays (rgb, interior mask) locally — host<->device
+            traffic is the bottleneck on thin interconnects."""
             with jax.default_matmul_precision(self.precision):
                 from ..core.coords import pack_coords
 
+                coords = coords16.astype(jnp.int32)
+                bi = jnp.clip(coords[:, 0], 0, origins.shape[0] - 1)
+                xyz = (
+                    origins[bi]
+                    + (coords[:, 1:].astype(jnp.float32) + 0.5) * voxel
+                    + res16.astype(jnp.float32)
+                )
                 keys = pack_coords(coords, spatial_shape, batch, valid=valid)
                 order = jnp.argsort(keys, stable=True)
                 skeys = keys[order]
@@ -255,10 +265,12 @@ class ModelInference:
             pending = []
             for vb in batches:
                 run = self._compiled(len(vb.coords), vb.spatial_shape, vb.batch_size)
+                c16, res, orig = vb.compressed_xyz_upload()
                 out = run(
                     self.variables,
-                    jnp.asarray(vb.coords),
-                    jnp.asarray(vb.feats[:, :3]),
+                    jnp.asarray(c16),
+                    jnp.asarray(res),
+                    jnp.asarray(orig),
                     jnp.asarray(vb.valid),
                 )
                 pending.append((vb, out))

@@ -32,6 +32,20 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _decode_xyz(coords16, res16, origins, voxel_size: float):
+    """Reconstruct fp32 xyz from the tunnel-friendly encoding (int16 coords
+    + fp16 residual from the voxel centre + per-item fp32 grid origin) —
+    see VoxelBatch.compressed_xyz_upload."""
+    coords = coords16.astype(jnp.int32)
+    bi = jnp.clip(coords[:, 0], 0, origins.shape[0] - 1)
+    xyz = (
+        origins[bi]
+        + (coords[:, 1:].astype(jnp.float32) + 0.5) * voxel_size
+        + res16.astype(jnp.float32)
+    )
+    return coords, xyz
+
+
 def make_dp_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -42,17 +56,23 @@ def make_dp_train_step(
     vector_class: int | None = 0,
     compute_dtype=jnp.float32,
     matmul_precision: str = "float32",
+    voxel_size: float = 0.01,
 ):
     """Build the jitted DP train step.
 
-    Batch arrays: coords [D, cap, 4], feats [D, cap, Ci], targets
-    [D, cap, 5], mask/valid [D, cap] — axis 0 sharded over the mesh.
+    Batch arrays (compressed for the host->device link): coords16
+    [D, cap, 4] int16, res16 [D, cap, 3] fp16, targets [D, cap, 5] fp16,
+    mask/valid [D, cap] bool, origins [D, items, 3] f32 — axis 0 sharded
+    over the mesh.
     """
     levels = len(model.unet_planes)
 
-    def per_shard(params, batch_stats, opt_state, coords, feats, targets, mask, valid):
+    def per_shard(params, batch_stats, opt_state, coords16, res16, targets,
+                  mask, valid, origins):
         # shard_map gives each device its [1, cap, ...] slice; drop the axis
-        coords, feats, targets = coords[0], feats[0], targets[0]
+        coords, xyz = _decode_xyz(coords16[0], res16[0], origins[0], voxel_size)
+        feats = xyz
+        targets = targets[0].astype(jnp.float32)
         mask, valid = mask[0], valid[0]
 
         def loss_fn(p):
@@ -98,16 +118,18 @@ def make_dp_train_step(
     sharded = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
 
     @jax.jit
-    def train_step(state: TrainState, coords, feats, targets, mask, valid):
+    def train_step(state: TrainState, coords16, res16, targets, mask, valid,
+                   origins):
         params, stats, opt, losses = sharded(
             state.params, state.batch_stats, state.opt_state,
-            coords, feats, targets, mask, valid,
+            coords16, res16, targets, mask, valid, origins,
         )
         return TrainState(params, stats, opt, state.step + 1), losses
 
@@ -121,11 +143,14 @@ def make_dp_eval_step(
     mesh: Mesh,
     axis: str = "dp",
     vector_class: int | None = 0,
+    voxel_size: float = 0.01,
 ):
     levels = len(model.unet_planes)
 
-    def per_shard(params, batch_stats, coords, feats, targets, mask, valid):
-        coords, feats, targets = coords[0], feats[0], targets[0]
+    def per_shard(params, batch_stats, coords16, res16, targets, mask, valid,
+                  origins):
+        coords, feats = _decode_xyz(coords16[0], res16[0], origins[0], voxel_size)
+        targets = targets[0].astype(jnp.float32)
         mask, valid = mask[0], valid[0]
         x = SparseVoxelTensor.from_coords(
             coords, feats, spatial_shape, device_batch, valid=valid
@@ -152,15 +177,18 @@ def make_dp_eval_step(
     sharded = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
         out_specs=P(),
         check_vma=False,
     )
 
     @jax.jit
-    def eval_step(state: TrainState, coords, feats, targets, mask, valid):
+    def eval_step(state: TrainState, coords16, res16, targets, mask, valid,
+                  origins):
         return sharded(
-            state.params, state.batch_stats, coords, feats, targets, mask, valid
+            state.params, state.batch_stats, coords16, res16, targets, mask,
+            valid, origins,
         )
 
     return eval_step

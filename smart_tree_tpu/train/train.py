@@ -11,6 +11,7 @@ training over every available device via shard_map (single chip is just a
 
 from __future__ import annotations
 
+import functools
 import logging
 import pickle
 import sys
@@ -36,10 +37,18 @@ log = logging.getLogger("smart_tree_tpu.train")
 
 
 def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True):
-    """Yield [n_dev, cap, ...] stacked arrays; each device sub-batch holds
-    batch_size/n_dev items collated to the shared static capacity."""
+    """Yield [n_dev, cap, ...] stacked arrays in the compressed upload
+    encoding (int16 coords, fp16 residual xyz, fp16 targets — the tunnel
+    bandwidth is the step bottleneck in this environment); each device
+    sub-batch holds batch_size/n_dev items collated to the shared static
+    capacity."""
     per_dev_items = max(cfg["batch_size"] // n_dev, 1)
     cap = int(cfg["batch_capacity"])
+    voxel = float(cfg["voxel_size"])
+    assert list(cfg["input_features"]) == ["xyz"], (
+        "compressed upload encodes xyz only; extend _device_batches for "
+        f"other input_features ({cfg['input_features']})"
+    )
     order = np.arange(len(dataset))
     if shuffle:
         dataset.rng.shuffle(order)
@@ -55,14 +64,17 @@ def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True
                 chunk = idxs[:1]
             items = [dataset.item(i) for i in chunk]
             # warn (not raise): one oversized crop must not kill a long run
-            vb = collate(items, per_dev_items, capacity=cap, on_overflow="warn")
+            vb = collate(items, per_dev_items, capacity=cap,
+                         on_overflow="warn", voxel_size=voxel)
             subs.append(vb)
+        comp = [s.compressed_xyz_upload() for s in subs]
         yield (
-            np.stack([s.coords for s in subs]),
-            np.stack([s.feats for s in subs]),
-            np.stack([s.targets for s in subs]),
+            np.stack([c[0] for c in comp]),                       # coords i16
+            np.stack([c[1] for c in comp]),                       # res f16
+            np.stack([s.targets.astype(np.float16) for s in subs]),
             np.stack([s.mask for s in subs]),
             np.stack([s.valid for s in subs]),
+            np.stack([c[2] for c in comp]),                       # origins f32
         )
 
 
@@ -98,17 +110,35 @@ def run_epoch(step_fn, state, dataset, cfg, n_dev, spatial, train: bool):
     tracker = Tracker()
     batches = _prefetch(_device_batches(dataset, cfg, n_dev, spatial, shuffle=train))
     pending = []  # small in-flight window: keeps dispatch ahead of the host
-    for batch in batches:  # without letting device buffers pile up unbounded
+    t_fetch = t_dispatch = t_sync = 0.0
+    n_steps = 0
+    while True:
+        t0 = time.time()
+        batch = next(batches, None)
+        t_fetch += time.time() - t0
+        if batch is None:
+            break
+        t0 = time.time()
         arrs = tuple(jnp.asarray(a) for a in batch)
         if train:
             state, losses = step_fn(state, *arrs)
         else:
             losses = step_fn(state, *arrs)
+        t_dispatch += time.time() - t0
+        n_steps += 1
         pending.append(losses)
         if len(pending) > 4:
+            t0 = time.time()
             tracker.update({k: float(v) for k, v in pending.pop(0).items()})
+            t_sync += time.time() - t0
+    t0 = time.time()
     for losses in pending:
         tracker.update({k: float(v) for k, v in losses.items()})
+    t_sync += time.time() - t0
+    log.info(
+        "  %s: %d steps — fetch %.1fs, dispatch %.1fs, device-wait %.1fs",
+        "train" if train else "eval", n_steps, t_fetch, t_dispatch, t_sync,
+    )
     return state, tracker
 
 
@@ -197,8 +227,11 @@ def main(argv=None) -> int:
         model, optimizer, spatial, per_dev_items, mesh,
         compute_dtype=compute_dtype,
         matmul_precision=cfg.get("matmul_precision", "float32"),
+        voxel_size=float(cfg["voxel_size"]),
     )
-    eval_step = make_dp_eval_step(model, spatial, per_dev_items, mesh)
+    eval_step = make_dp_eval_step(
+        model, spatial, per_dev_items, mesh, voxel_size=float(cfg["voxel_size"])
+    )
 
     epochs_no_improve = 0
     for epoch in range(start_epoch, cfg["num_epoch"]):
@@ -257,8 +290,13 @@ def fit_smoke(cloud, steps: int = 6, capacity: int = 8192, lr: float = 0.01,
         ],
         axis=1,
     )
-    coords, data = voxelize_host(xyz, np.concatenate([xyz, targets], 1), voxel_size)
-    vb = collate([(coords, data[:, :3], data[:, 3:], "smoke")], 1, capacity=capacity)
+    coords, data, origin = voxelize_host(
+        xyz, np.concatenate([xyz, targets], 1), voxel_size
+    )
+    vb = collate(
+        [(coords, data[:, :3], data[:, 3:], "smoke", origin)], 1,
+        capacity=capacity, voxel_size=voxel_size,
+    )
 
     model = SmartTree(
         input_channels=3,
@@ -278,18 +316,43 @@ def fit_smoke(cloud, steps: int = 6, capacity: int = 8192, lr: float = 0.01,
         opt_state=optimizer.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
     )
-    step_fn = make_dp_train_step(model, optimizer, vb.spatial_shape, 1, mesh)
+    step_fn = make_dp_train_step(
+        model, optimizer, vb.spatial_shape, 1, mesh, voxel_size=voxel_size
+    )
 
     def tile(a):
         a = np.asarray(a)
         return jnp.asarray(np.broadcast_to(a[None], (n_dev,) + a.shape).copy())
 
-    args = tuple(tile(a) for a in (vb.coords, vb.feats, vb.targets, vb.mask, vb.valid))
+    c16, res, orig = vb.compressed_xyz_upload()
+    args = tuple(
+        tile(a)
+        for a in (c16, res, vb.targets.astype(np.float16), vb.mask, vb.valid, orig)
+    )
     losses = []
     for _ in range(steps):
         state, l = step_fn(state, *args)
         losses.append(float(sum(np.asarray(v) for v in l.values())))
     return np.asarray(losses)
+
+
+@functools.lru_cache(maxsize=4)
+def _capture_forward(model, cap: int, spatial, nfeat: int):
+    """Jitted capture forward — unjitted model.apply executes op-by-op and
+    costs MINUTES per call through a high-latency dispatch tunnel."""
+    import jax
+
+    from ..core.plan import build_plan
+    from ..core.sparse_tensor import SparseVoxelTensor
+
+    @jax.jit
+    def fwd(variables, coords, feats, valid):
+        x = SparseVoxelTensor.from_coords(coords, feats, spatial, 1, valid=valid)
+        plan = build_plan(x, len(model.unet_planes))
+        preds = model.apply(variables, plan, x.feats[:, :3], train=False)
+        return preds, x.feats, x.active
+
+    return fwd
 
 
 def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int) -> None:
@@ -298,11 +361,9 @@ def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int) -> None
     uploads replaced by PNG captures when wandb is absent)."""
     import jax.numpy as jnp
 
-    from ..core.plan import build_plan
-    from ..core.sparse_tensor import SparseVoxelTensor
     from ..viz.render import Renderer
 
-    coords, feats, targets, name = dataset.item(0)
+    coords, feats, targets, name, _origin = dataset.item(0)
     # static shapes: one compile for every epoch's capture
     cap = int(cfg["batch_capacity"])
     n = min(len(coords), cap)
@@ -312,17 +373,14 @@ def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int) -> None
     fpad = np.zeros((cap, feats.shape[1]), np.float32)
     fpad[:n] = feats[:n]
     spatial = tuple(cfg["spatial_shape"])
-    x = SparseVoxelTensor.from_coords(
-        jnp.asarray(cpad), jnp.asarray(fpad), spatial, 1,
-        valid=jnp.asarray(np.arange(cap) < n),
-    )
-    plan = build_plan(x, len(model.unet_planes))
-    preds = model.apply(
+    fwd = _capture_forward(model, cap, spatial, feats.shape[1])
+    preds, sfeats, sactive = fwd(
         {"params": state.params, "batch_stats": state.batch_stats},
-        plan, x.feats[:, :3], train=False,
+        jnp.asarray(cpad), jnp.asarray(fpad),
+        jnp.asarray(np.arange(cap) < n),
     )
-    active = np.asarray(x.active)
-    xyz = np.asarray(x.feats[:, :3])[active]
+    active = np.asarray(sactive)
+    xyz = np.asarray(sfeats[:, :3])[active]
     cls = np.argmax(np.asarray(preds["class_l"])[active], axis=1)
     cmap = np.asarray(cfg.get("cmap", [[1, 0, 0], [0, 1, 0]]), np.float32)
     seg_rgb = cmap[np.clip(cls, 0, len(cmap) - 1)]

@@ -31,7 +31,7 @@ def dataset_dir(tmp_path_factory):
 
 def test_voxelize_host_dedup():
     xyz = np.asarray([[0, 0, 0], [0.001, 0.001, 0.001], [0.05, 0, 0]], np.float32)
-    coords, data = voxelize_host(xyz, xyz, 0.01)
+    coords, data, _origin = voxelize_host(xyz, xyz, 0.01)
     assert len(coords) == 2  # first two share a voxel
     # surviving point is the first occurrence
     assert (data[0] == xyz[0]).all()
@@ -48,7 +48,7 @@ def test_tree_dataset_items_and_batches(dataset_dir):
         augmentation=AugmentationPipeline([RandomCubicCrop(4.0)]),
     )
     assert len(ds) == 2
-    coords, inp, tgt, name = ds.item(0)
+    coords, inp, tgt, name, origin = ds.item(0)
     assert inp.shape[1] == 3 and tgt.shape[1] == 5
     assert coords.min() >= 0
     # targets: radius col positive, direction cols unit-ish

@@ -13,24 +13,32 @@ from smart_tree_tpu.parallel.dp import TrainState, make_dp_eval_step, make_dp_tr
 from smart_tree_tpu.parallel.mesh import make_mesh
 
 
-def make_batch(rng, n_dev, cap, device_batch, grid):
-    coords = np.concatenate(
-        [
-            rng.integers(0, device_batch, size=(n_dev, cap, 1)),
-            rng.integers(0, grid, size=(n_dev, cap, 3)),
-        ],
-        axis=2,
-    ).astype(np.int32)
-    feats = rng.normal(size=(n_dev, cap, 3)).astype(np.float32)
+def make_batch(rng, n_dev, cap, device_batch, grid, voxel=0.01):
+    """Random batch in the compressed upload encoding (int16 coords, fp16
+    voxel residuals, fp16 targets, per-item origins)."""
+    coords = np.full((n_dev, cap, 4), -1, np.int16)
+    valid = np.zeros((n_dev, cap), bool)
+    for d in range(n_dev):
+        c = np.concatenate(
+            [
+                rng.integers(0, device_batch, size=(cap, 1)),
+                rng.integers(0, grid, size=(cap, 3)),
+            ],
+            axis=1,
+        ).astype(np.int16)
+        c = np.unique(c, axis=0)  # voxelizer guarantees unique coords
+        coords[d, : len(c)] = c
+        valid[d, : len(c)] = True
+    res = rng.uniform(-voxel / 2, voxel / 2, size=(n_dev, cap, 3)).astype(np.float16)
+    origins = np.zeros((n_dev, device_batch, 3), np.float32)
     radius = rng.uniform(0.02, 0.1, size=(n_dev, cap, 1))
     direction = rng.normal(size=(n_dev, cap, 3))
     direction /= np.linalg.norm(direction, axis=2, keepdims=True)
     labels = rng.integers(0, 2, size=(n_dev, cap, 1))
-    targets = np.concatenate([radius, direction, labels], axis=2).astype(np.float32)
-    mask = np.ones((n_dev, cap), bool)
-    valid = np.ones((n_dev, cap), bool)
+    targets = np.concatenate([radius, direction, labels], axis=2).astype(np.float16)
+    mask = valid.copy()
     return tuple(
-        jnp.asarray(a) for a in (coords, feats, targets, mask, valid)
+        jnp.asarray(a) for a in (coords, res, targets, mask, valid, origins)
     )
 
 

@@ -49,10 +49,10 @@ def main():
         ],
         axis=1,
     )
-    coords, data = voxelize_host(xyz, np.concatenate([xyz, targets], 1), 0.01)
+    coords, data, origin = voxelize_host(xyz, np.concatenate([xyz, targets], 1), 0.01)
     print(f"tree: {len(xyz)} pts -> {len(coords)} voxels")
-    vb = collate([(coords, data[:, :3], data[:, 3:], "probe")], 1,
-                 capacity=args.capacity)
+    vb = collate([(coords, data[:, :3], data[:, 3:], "probe", origin)], 1,
+                 capacity=args.capacity, voxel_size=0.01)
 
     model = SmartTree(bn_axis_name="dp")
     variables = init_template(model)
@@ -65,13 +65,18 @@ def main():
     step_fn = make_dp_train_step(
         model, optimizer, vb.spatial_shape, 1, mesh,
         compute_dtype=jnp.bfloat16 if args.fp16 else jnp.float32,
+        voxel_size=0.01,
     )
 
     def tile(a):
         a = np.asarray(a)
         return jnp.asarray(np.broadcast_to(a[None], (n_dev,) + a.shape).copy())
 
-    batch = tuple(tile(a) for a in (vb.coords, vb.feats, vb.targets, vb.mask, vb.valid))
+    c16, res, orig = vb.compressed_xyz_upload()
+    batch = tuple(
+        tile(a)
+        for a in (c16, res, vb.targets.astype(np.float16), vb.mask, vb.valid, orig)
+    )
     t0 = time.time()
     for i in range(args.steps):
         state, losses = step_fn(state, *batch)
