@@ -27,6 +27,9 @@ class EdgeList(NamedTuple):
     valid: jax.Array    # [N*K] bool
 
 
+_GRID_KNN_THRESHOLD = 400_000  # brute force is O(N^2); grid wins past this
+
+
 def nn_graph(
     points: jax.Array,
     radii: jax.Array,
@@ -38,7 +41,14 @@ def nn_graph(
     clamped by min_connection_length upstream, skeletonize.py:37-41)."""
     n = points.shape[0]
     r_max = jnp.max(jnp.where(valid, radii, 0.0) if valid is not None else radii)
-    dists, idxs = knn(points, points, k, r_max, src_valid=valid, dst_valid=valid)
+    if n > _GRID_KNN_THRESHOLD:
+        from ..neighbors.grid import grid_knn
+
+        dists, idxs = grid_knn(
+            points, points, k, float(r_max), src_valid=valid, dst_valid=valid,
+        )
+    else:
+        dists, idxs = knn(points, points, k, r_max, src_valid=valid, dst_valid=valid)
     # per-source radius gate (reference graph.py:38)
     idxs = jnp.where(dists <= radii[:, None], idxs, -1)
     src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))

@@ -69,3 +69,17 @@ class MetricsSink:
             self._wandb.log(metrics, step=step)
         else:
             log.debug("metrics %s: %s", step, metrics)
+
+    def log_cloud(self, key: str, xyz, rgb=None, step: int | None = None) -> None:
+        """Upload a 3D point cloud (reference capture_and_log posts
+        wandb.Object3D per epoch, train.py:147-163). No-op without wandb —
+        the PNG captures in the run dir are the offline substitute."""
+        if self._wandb is None:  # pragma: no cover - optional dependency
+            return
+        import numpy as np
+
+        pts = np.asarray(xyz, np.float32)
+        if rgb is not None:
+            rgb255 = np.clip(np.asarray(rgb, np.float32) * 255, 0, 255)
+            pts = np.concatenate([pts, rgb255], axis=1)
+        self._wandb.log({key: self._wandb.Object3D(pts)}, step=step)

@@ -264,7 +264,7 @@ def main(argv=None) -> int:
 
         if cfg.get("capture_output") and epoch % int(cfg["capture_output"]) == 0:
             try:
-                capture_epoch(state, model, val_ds, cfg, out_dir, epoch)
+                capture_epoch(state, model, val_ds, cfg, out_dir, epoch, sink)
             except Exception as e:  # pragma: no cover - capture is best-effort
                 log.warning("capture failed: %s", e)
 
@@ -355,10 +355,11 @@ def _capture_forward(model, cap: int, spatial, nfeat: int):
     return fwd
 
 
-def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int) -> None:
+def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int,
+                  sink: MetricsSink | None = None) -> None:
     """Render predicted segmentation/medial views of one val cloud to the
-    run dir (reference capture_and_log, train.py:147-163, wandb.Object3D
-    uploads replaced by PNG captures when wandb is absent)."""
+    run dir, and upload wandb.Object3D clouds when wandb is live (reference
+    capture_and_log, train.py:147-163)."""
     import jax.numpy as jnp
 
     from ..viz.render import Renderer
@@ -392,6 +393,9 @@ def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int) -> None
     cap_dir.mkdir(parents=True, exist_ok=True)
     r.capture_to_file(cap_dir / f"epoch{epoch:04d}_seg.png", xyz, seg_rgb)
     r.capture_to_file(cap_dir / f"epoch{epoch:04d}_medial.png", medial)
+    if sink is not None:
+        sink.log_cloud("capture/seg", xyz, seg_rgb, step=epoch)
+        sink.log_cloud("capture/medial", medial, step=epoch)
     log.info("captured %s (epoch %d)", name, epoch)
 
 

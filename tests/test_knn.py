@@ -61,3 +61,48 @@ def test_nn_shape():
     b = rng.normal(size=(30, 3)).astype(np.float32)
     d, i = map(np.asarray, nn(a, b, 5.0))
     assert d.shape == (20,) and i.shape == (20,)
+
+
+def test_grid_knn_matches_brute_force():
+    """Uniform-grid KNN (multi-million-point path) vs the exact tiled brute
+    force, on a clustered metre-scale cloud."""
+    import jax.numpy as jnp
+
+    from smart_tree_tpu.neighbors import knn
+    from smart_tree_tpu.neighbors.grid import grid_knn
+
+    rng = np.random.default_rng(11)
+    centres = rng.uniform(-6, 6, size=(40, 3)).astype(np.float32)
+    pts = (
+        centres[:, None, :] + rng.normal(scale=0.03, size=(40, 50, 3))
+    ).reshape(-1, 3).astype(np.float32)
+    r, k = 0.08, 8
+    gd, gi = map(np.asarray, grid_knn(pts, pts, k, r, cell_cap=256))
+    bd, bi = map(np.asarray, knn(pts, pts, k, r))
+    np.testing.assert_allclose(
+        np.where(np.isinf(gd), 1e9, gd), np.where(np.isinf(bd), 1e9, bd),
+        atol=1e-5,
+    )
+    assert (gi >= 0).sum() == (bi >= 0).sum()
+
+
+def test_grid_knn_cell_cap_raises():
+    import pytest
+
+    from smart_tree_tpu.neighbors.grid import grid_knn
+
+    rng = np.random.default_rng(12)
+    pts = rng.normal(scale=0.01, size=(500, 3)).astype(np.float32)  # one cell
+    with pytest.raises(RuntimeError, match="cell_cap"):
+        grid_knn(pts, pts, 4, 0.5, cell_cap=16)
+
+
+def test_grid_knn_src_outside_dst_extent():
+    """Queries just outside the dst bounding box still see in-radius
+    neighbors (grid margin regression)."""
+    from smart_tree_tpu.neighbors.grid import grid_knn
+
+    dst = np.asarray([[0, 0, 0], [1, 1, 1]], np.float32)
+    src = np.asarray([[-0.05, 0, 0], [1.05, 1.0, 1.0], [5, 5, 5]], np.float32)
+    d, i = map(np.asarray, grid_knn(src, dst, 1, 0.1, cell_cap=8))
+    assert i[0, 0] == 0 and i[1, 0] == 1 and i[2, 0] == -1
