@@ -46,6 +46,14 @@ def _decode_xyz(coords16, res16, origins, voxel_size: float):
     return coords, xyz
 
 
+def _decode_targets(radius16, dir_cls8):
+    """[cap,5] f32 targets from fp16 radius + int8 (direction*127, class).
+    1/127 direction quantization is ~0.45 deg — far below label noise."""
+    radius = radius16.astype(jnp.float32)
+    dc = dir_cls8.astype(jnp.float32)
+    return jnp.concatenate([radius, dc[:, :3] / 127.0, dc[:, 3:4]], axis=1)
+
+
 def make_dp_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -61,19 +69,21 @@ def make_dp_train_step(
     """Build the jitted DP train step.
 
     Batch arrays (compressed for the host->device link): coords16
-    [D, cap, 4] int16, res16 [D, cap, 3] fp16, targets [D, cap, 5] fp16,
-    mask/valid [D, cap] bool, origins [D, items, 3] f32 — axis 0 sharded
-    over the mesh.
+    [D, cap, 4] int16, res16 [D, cap, 3] fp16, radius16 [D, cap, 1] fp16,
+    dir_cls8 [D, cap, 4] int8 (direction*127 + 0/1 class), valid [D, cap]
+    bool (doubles as the all-ones reference loss mask), origins
+    [D, items, 3] f32 — axis 0 sharded over the mesh.
     """
     levels = len(model.unet_planes)
 
-    def per_shard(params, batch_stats, opt_state, coords16, res16, targets,
-                  mask, valid, origins):
+    def per_shard(params, batch_stats, opt_state, coords16, res16, radius16,
+                  dir_cls8, valid, origins):
         # shard_map gives each device its [1, cap, ...] slice; drop the axis
         coords, xyz = _decode_xyz(coords16[0], res16[0], origins[0], voxel_size)
         feats = xyz
-        targets = targets[0].astype(jnp.float32)
-        mask, valid = mask[0], valid[0]
+        targets = _decode_targets(radius16[0], dir_cls8[0])
+        valid = valid[0]
+        mask = valid
 
         def loss_fn(p):
           with jax.default_matmul_precision(matmul_precision):
@@ -125,11 +135,11 @@ def make_dp_train_step(
     )
 
     @jax.jit
-    def train_step(state: TrainState, coords16, res16, targets, mask, valid,
-                   origins):
+    def train_step(state: TrainState, coords16, res16, radius16, dir_cls8,
+                   valid, origins):
         params, stats, opt, losses = sharded(
             state.params, state.batch_stats, state.opt_state,
-            coords16, res16, targets, mask, valid, origins,
+            coords16, res16, radius16, dir_cls8, valid, origins,
         )
         return TrainState(params, stats, opt, state.step + 1), losses
 
@@ -147,11 +157,12 @@ def make_dp_eval_step(
 ):
     levels = len(model.unet_planes)
 
-    def per_shard(params, batch_stats, coords16, res16, targets, mask, valid,
-                  origins):
+    def per_shard(params, batch_stats, coords16, res16, radius16, dir_cls8,
+                  valid, origins):
         coords, feats = _decode_xyz(coords16[0], res16[0], origins[0], voxel_size)
-        targets = targets[0].astype(jnp.float32)
-        mask, valid = mask[0], valid[0]
+        targets = _decode_targets(radius16[0], dir_cls8[0])
+        valid = valid[0]
+        mask = valid
         x = SparseVoxelTensor.from_coords(
             coords, feats, spatial_shape, device_batch, valid=valid
         )
@@ -184,11 +195,11 @@ def make_dp_eval_step(
     )
 
     @jax.jit
-    def eval_step(state: TrainState, coords16, res16, targets, mask, valid,
-                  origins):
+    def eval_step(state: TrainState, coords16, res16, radius16, dir_cls8,
+                  valid, origins):
         return sharded(
-            state.params, state.batch_stats, coords16, res16, targets, mask,
-            valid, origins,
+            state.params, state.batch_stats, coords16, res16, radius16,
+            dir_cls8, valid, origins,
         )
 
     return eval_step

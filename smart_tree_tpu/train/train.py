@@ -36,12 +36,32 @@ from .tracker import MetricsSink, Tracker
 log = logging.getLogger("smart_tree_tpu.train")
 
 
+def _pack_bins(sizes, budget: int, max_items: int):
+    """Greedy first-fit-decreasing packing of item indices into bins under a
+    voxel budget — batches fill the static capacity instead of wasting it as
+    padding (steps are upload-bound over the dev tunnel, so step count and
+    bytes/step both matter)."""
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
+    bins = []
+    for i in order:
+        placed = False
+        for b in bins:
+            if len(b) < max_items and sum(sizes[j] for j in b) + sizes[i] <= budget:
+                b.append(i)
+                placed = True
+                break
+        if not placed:
+            bins.append([i])
+    return bins
+
+
 def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True):
     """Yield [n_dev, cap, ...] stacked arrays in the compressed upload
-    encoding (int16 coords, fp16 residual xyz, fp16 targets — the tunnel
-    bandwidth is the step bottleneck in this environment); each device
-    sub-batch holds batch_size/n_dev items collated to the shared static
-    capacity."""
+    encoding (int16 coords, fp16 residual xyz, fp16 radius, int8
+    direction/class — the tunnel bandwidth is the step bottleneck in this
+    environment). Items are budget-packed: a window of voxelized items is
+    bin-packed to the static capacity, so batches carry up to `batch_size`
+    items and nearly no padding."""
     per_dev_items = max(cfg["batch_size"] // n_dev, 1)
     cap = int(cfg["batch_capacity"])
     voxel = float(cfg["voxel_size"])
@@ -52,30 +72,38 @@ def _device_batches(dataset: TreeDataset, cfg, n_dev: int, spatial, shuffle=True
     order = np.arange(len(dataset))
     if shuffle:
         dataset.rng.shuffle(order)
-    group = per_dev_items * n_dev
-    for start in range(0, len(order), group):
-        idxs = order[start : start + group]
-        subs = []
-        for d in range(n_dev):
-            chunk = idxs[d * per_dev_items : (d + 1) * per_dev_items]
-            if len(chunk) == 0:
-                # short final group: reuse the first item so every device
-                # has data (capacity padding keeps shapes static anyway)
-                chunk = idxs[:1]
-            items = [dataset.item(i) for i in chunk]
-            # warn (not raise): one oversized crop must not kill a long run
-            vb = collate(items, per_dev_items, capacity=cap,
-                         on_overflow="warn", voxel_size=voxel)
-            subs.append(vb)
-        comp = [s.compressed_xyz_upload() for s in subs]
-        yield (
-            np.stack([c[0] for c in comp]),                       # coords i16
-            np.stack([c[1] for c in comp]),                       # res f16
-            np.stack([s.targets.astype(np.float16) for s in subs]),
-            np.stack([s.mask for s in subs]),
-            np.stack([s.valid for s in subs]),
-            np.stack([c[2] for c in comp]),                       # origins f32
-        )
+
+    window = 10 * per_dev_items * n_dev  # pack within a sliding window
+    for wstart in range(0, len(order), window):
+        items = [dataset.item(i) for i in order[wstart : wstart + window]]
+        bins = _pack_bins([len(it[0]) for it in items], cap, per_dev_items)
+        for bstart in range(0, len(bins), n_dev):
+            group = bins[bstart : bstart + n_dev]
+            while len(group) < n_dev:
+                group.append(group[-1])  # repeat: shapes stay static
+            subs = [
+                collate([items[i] for i in b], per_dev_items, capacity=cap,
+                        on_overflow="warn", voxel_size=voxel)
+                for b in group
+            ]
+            comp = [s.compressed_xyz_upload() for s in subs]
+            tgt = np.stack([s.targets for s in subs])  # [D, cap, 5] f32
+            radius16 = tgt[..., 0:1].astype(np.float16)
+            dir_cls8 = np.concatenate(
+                [
+                    np.clip(np.round(tgt[..., 1:4] * 127), -127, 127),
+                    tgt[..., 4:5],
+                ],
+                axis=-1,
+            ).astype(np.int8)
+            yield (
+                np.stack([c[0] for c in comp]),            # coords i16
+                np.stack([c[1] for c in comp]),            # res f16
+                radius16,
+                dir_cls8,
+                np.stack([s.valid for s in subs]),         # doubles as mask
+                np.stack([c[2] for c in comp]),            # origins f32
+            )
 
 
 def _prefetch(it, depth: int = 2):
@@ -325,9 +353,14 @@ def fit_smoke(cloud, steps: int = 6, capacity: int = 8192, lr: float = 0.01,
         return jnp.asarray(np.broadcast_to(a[None], (n_dev,) + a.shape).copy())
 
     c16, res, orig = vb.compressed_xyz_upload()
+    radius16 = vb.targets[:, 0:1].astype(np.float16)
+    dir_cls8 = np.concatenate(
+        [np.clip(np.round(vb.targets[:, 1:4] * 127), -127, 127),
+         vb.targets[:, 4:5]],
+        axis=1,
+    ).astype(np.int8)
     args = tuple(
-        tile(a)
-        for a in (c16, res, vb.targets.astype(np.float16), vb.mask, vb.valid, orig)
+        tile(a) for a in (c16, res, radius16, dir_cls8, vb.valid, orig)
     )
     losses = []
     for _ in range(steps):

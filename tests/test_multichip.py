@@ -31,14 +31,16 @@ def make_batch(rng, n_dev, cap, device_batch, grid, voxel=0.01):
         valid[d, : len(c)] = True
     res = rng.uniform(-voxel / 2, voxel / 2, size=(n_dev, cap, 3)).astype(np.float16)
     origins = np.zeros((n_dev, device_batch, 3), np.float32)
-    radius = rng.uniform(0.02, 0.1, size=(n_dev, cap, 1))
+    radius16 = rng.uniform(0.02, 0.1, size=(n_dev, cap, 1)).astype(np.float16)
     direction = rng.normal(size=(n_dev, cap, 3))
     direction /= np.linalg.norm(direction, axis=2, keepdims=True)
     labels = rng.integers(0, 2, size=(n_dev, cap, 1))
-    targets = np.concatenate([radius, direction, labels], axis=2).astype(np.float16)
-    mask = valid.copy()
+    dir_cls8 = np.concatenate(
+        [np.clip(np.round(direction * 127), -127, 127), labels], axis=2
+    ).astype(np.int8)
     return tuple(
-        jnp.asarray(a) for a in (coords, res, targets, mask, valid, origins)
+        jnp.asarray(a)
+        for a in (coords, res, radius16, dir_cls8, valid, origins)
     )
 
 

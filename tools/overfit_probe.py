@@ -73,9 +73,14 @@ def main():
         return jnp.asarray(np.broadcast_to(a[None], (n_dev,) + a.shape).copy())
 
     c16, res, orig = vb.compressed_xyz_upload()
+    radius16 = vb.targets[:, 0:1].astype(np.float16)
+    dir_cls8 = np.concatenate(
+        [np.clip(np.round(vb.targets[:, 1:4] * 127), -127, 127),
+         vb.targets[:, 4:5]],
+        axis=1,
+    ).astype(np.int8)
     batch = tuple(
-        tile(a)
-        for a in (c16, res, vb.targets.astype(np.float16), vb.mask, vb.valid, orig)
+        tile(a) for a in (c16, res, radius16, dir_cls8, vb.valid, orig)
     )
     t0 = time.time()
     for i in range(args.steps):
