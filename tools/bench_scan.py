@@ -46,6 +46,8 @@ def main():
         default=str(Path(__file__).resolve().parent.parent
                     / "smart_tree_tpu/weights/noble-elevator-58.npz"),
     )
+    ap.add_argument("--skeletonize", action="store_true",
+                    help="also run the full skeleton stage (grid KNN path)")
     args = ap.parse_args()
 
     cloud = make_forest(args.trees, args.points_per_m2)
@@ -57,9 +59,9 @@ def main():
     mi.forward(cloud)  # warm (compiles)
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
-    mi.forward(cloud)
+    lc = mi.forward(cloud)
     dt = time.perf_counter() - t0
-    print(json.dumps({
+    out = {
         "metric": "tiled scan inference points/sec",
         "value": round(n / dt, 1),
         "unit": "points/sec",
@@ -67,7 +69,20 @@ def main():
         "warm_s": round(dt, 2),
         "cold_s": round(warm, 2),
         "trees_per_min": round(args.trees / dt * 60, 2),
-    }))
+    }
+    if args.skeletonize:
+        from smart_tree_tpu.skeleton.skeletonize import Skeletonizer
+
+        sk = Skeletonizer(max_components=args.trees * 4, strict=False)
+        t0 = time.perf_counter()
+        skel = sk.forward(lc.filter_by_class([0]))
+        t_sk = time.perf_counter() - t0
+        out.update({
+            "skeletonize_s": round(t_sk, 2),
+            "skeletons": len(skel.skeletons),
+            "end_to_end_trees_per_min": round(args.trees / (dt + t_sk) * 60, 2),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
