@@ -53,12 +53,18 @@ class SmartTree(nn.Module):
         # F.normalize semantics (model.py:84): v / max(|v|, 1e-12).
         # rsqrt(max(n2, eps)) keeps the gradient finite at the exact-zero
         # vectors padding rows produce (norm() has a 0/0 NaN grad there).
+        direction_raw = direction
         n2 = jnp.sum(jnp.square(direction), axis=1, keepdims=True)
         direction = direction * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
         class_l = SparseFC(
             tuple(self.class_fc_planes), self.bn_axis_name, name="class_head"
         )(x, mask, train)
-        return {"radius": radius, "direction": direction, "class_l": class_l}
+        return {
+            "radius": radius,
+            "direction": direction,
+            "direction_raw": direction_raw,
+            "class_l": class_l,
+        }
 
     def build_plan(self, x: SparseVoxelTensor, **kw) -> UNetPlan:
         return build_plan(x, num_levels=len(self.unet_planes), **kw)

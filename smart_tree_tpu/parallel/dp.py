@@ -65,6 +65,7 @@ def make_dp_train_step(
     compute_dtype=jnp.float32,
     matmul_precision: str = "float32",
     voxel_size: float = 0.01,
+    direction_loss: str = "cosine",
 ):
     """Build the jitted DP train step.
 
@@ -112,7 +113,9 @@ def make_dp_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            losses = compute_loss(preds, t_sorted, m_sorted, vector_class=vector_class)
+            losses = compute_loss(preds, t_sorted, m_sorted,
+                                  vector_class=vector_class,
+                                  direction_loss=direction_loss)
             total = sum(losses.values())
             return total, (losses, updates["batch_stats"])
 
@@ -154,6 +157,7 @@ def make_dp_eval_step(
     axis: str = "dp",
     vector_class: int | None = 0,
     voxel_size: float = 0.01,
+    direction_loss: str = "cosine",
 ):
     levels = len(model.unet_planes)
 
@@ -182,6 +186,7 @@ def make_dp_eval_step(
             xt.feats[:, :-1],
             (xt.feats[:, -1] > 0.5) & xt.active,
             vector_class=vector_class,
+            direction_loss=direction_loss,
         )
         return jax.lax.pmean(losses, axis)
 

@@ -53,15 +53,33 @@ def focal_loss(
     return _masked_mean(loss, mask)
 
 
+def l2_direction_loss(
+    pred_raw: jax.Array, target: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Mean squared error between the RAW (pre-normalization) direction
+    output and the unit target. Unlike the normalized-cosine loss, whose
+    gradient is ~1/|v| and collapses the head to a constant under Adam at
+    moderate learning rates (see tools/overfit_probe.py), this is bounded
+    everywhere and has the same minimizer direction; inference still
+    normalizes."""
+    diff = (pred_raw - target) ** 2
+    return _masked_mean(jnp.sum(diff, axis=1), mask)
+
+
 def compute_loss(
     preds: Dict[str, jax.Array],
     targets: jax.Array,
     mask: jax.Array,
     vector_class: int | None = 0,
     target_radius_log: bool = True,
+    direction_loss: str = "cosine",
 ) -> Dict[str, jax.Array]:
     """targets: [N, 5] = [radius, direction(3), class]; mask: [N] bool
-    (loss mask AND active-voxel mask). Matches reference loss.py:7-50."""
+    (loss mask AND active-voxel mask). Matches reference loss.py:7-50.
+
+    direction_loss: "cosine" (reference semantics, on the normalized head
+    output) or "l2raw" (bounded-gradient variant on the raw output —
+    requires preds["direction_raw"])."""
     target_radius = targets[:, 0:1]
     target_direction = targets[:, 1:4]
     target_class = targets[:, 4]
@@ -73,10 +91,15 @@ def compute_loss(
     if target_radius_log:
         target_radius = jnp.log(jnp.maximum(target_radius, 1e-12))
 
+    if direction_loss == "l2raw":
+        dloss = l2_direction_loss(preds["direction_raw"], target_direction, vmask)
+    else:
+        dloss = cosine_similarity_loss(
+            preds["direction"], target_direction, vmask
+        )
+
     return {
         "radius": l1_loss(preds["radius"], target_radius, vmask),
-        "direction": cosine_similarity_loss(
-            preds["direction"], target_direction, vmask
-        ),
+        "direction": dloss,
         "class_l": focal_loss(preds["class_l"], target_class, mask),
     }

@@ -256,9 +256,11 @@ def main(argv=None) -> int:
         compute_dtype=compute_dtype,
         matmul_precision=cfg.get("matmul_precision", "float32"),
         voxel_size=float(cfg["voxel_size"]),
+        direction_loss=cfg.get("direction_loss", "cosine"),
     )
     eval_step = make_dp_eval_step(
-        model, spatial, per_dev_items, mesh, voxel_size=float(cfg["voxel_size"])
+        model, spatial, per_dev_items, mesh, voxel_size=float(cfg["voxel_size"]),
+        direction_loss=cfg.get("direction_loss", "cosine"),
     )
 
     epochs_no_improve = 0
