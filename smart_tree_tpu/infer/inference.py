@@ -167,6 +167,7 @@ class ModelInference:
         levels = len(model.unet_planes)
 
         voxel = self.voxel_size
+        feature_mode = "local" if self.model.input_channels == 4 else "xyz"
 
         @jax.jit
         def run(variables, coords16, res16, origins, valid):
@@ -177,19 +178,16 @@ class ModelInference:
             traffic is the bottleneck on thin interconnects."""
             with jax.default_matmul_precision(self.precision):
                 from ..core.coords import pack_coords
+                from ..parallel.dp import make_features
 
-                coords = coords16.astype(jnp.int32)
-                bi = jnp.clip(coords[:, 0], 0, origins.shape[0] - 1)
-                xyz = (
-                    origins[bi]
-                    + (coords[:, 1:].astype(jnp.float32) + 0.5) * voxel
-                    + res16.astype(jnp.float32)
+                coords, fv = make_features(
+                    coords16, res16, origins, voxel, feature_mode
                 )
                 keys = pack_coords(coords, spatial_shape, batch, valid=valid)
                 order = jnp.argsort(keys, stable=True)
                 skeys = keys[order]
                 active = skeys != jnp.uint32(0xFFFFFFFF)
-                feats = jnp.where(active[:, None], xyz[order], 0)
+                feats = jnp.where(active[:, None], fv[order], 0)
                 x = SparseVoxelTensor(
                     keys=skeys, feats=feats, active=active,
                     spatial_shape=spatial_shape, batch_size=batch,
@@ -215,6 +213,7 @@ class ModelInference:
             make_mesh(n_dev),
             precision=self.precision,
             level_capacity_factor=self.level_capacity_factor,
+            voxel_size=self.voxel_size,
         )
 
     def _submit_multichip(self, batches, n_dev: int):
@@ -232,11 +231,12 @@ class ModelInference:
         for key, group in itertools.groupby(sorted(batches, key=keyf), key=keyf):
             cap, spatial, bsz = key
             fwd = self._compiled_sharded(cap, spatial, bsz, n_dev)
-            for chunk, coords, xyz, valid, keep in stack_device_batches(
+            for chunk, coords16, res16, valid, origins, keep in stack_device_batches(
                 list(group), n_dev
             ):
                 preds, order, active, counts, caps = fwd(
-                    jnp.asarray(coords), jnp.asarray(xyz), jnp.asarray(valid)
+                    jnp.asarray(coords16), jnp.asarray(res16),
+                    jnp.asarray(valid), jnp.asarray(origins),
                 )
                 for d in range(n_dev):
                     if not keep[d]:

@@ -36,20 +36,29 @@ def make_sharded_forward(
     axis: str = "dp",
     precision: str = "float32",
     level_capacity_factor: float = 1.0,
+    voxel_size: float = 0.01,
 ):
-    """Returns fn(coords [D,cap,4], xyz [D,cap,3], valid [D,cap]) ->
+    """Returns fn(coords16 [D,cap,4] i16, res16 [D,cap,3] f16,
+    valid [D,cap], origins [D,items,3] f32) ->
     (preds dict [D,cap,...], order [D,cap] int32, active [D,cap],
      counts [D,levels], caps [D,levels])."""
     levels = len(model.unet_planes)
+    feature_mode = "local" if model.input_channels == 4 else "xyz"
 
-    def per_shard(coords, xyz, valid):
-        coords, xyz, valid = coords[0], xyz[0], valid[0]
+    def per_shard(coords16, res16, valid, origins):
+        coords16, res16 = coords16[0], res16[0]
+        valid, origins = valid[0], origins[0]
         with jax.default_matmul_precision(precision):
+            from .dp import make_features
+
+            coords, fv = make_features(
+                coords16, res16, origins, voxel_size, feature_mode
+            )
             keys = pack_coords(coords, spatial_shape, device_batch, valid=valid)
             order = jnp.argsort(keys, stable=True)
             skeys = keys[order]
             active = skeys != INVALID_KEY
-            feats = jnp.where(active[:, None], xyz[order], 0)
+            feats = jnp.where(active[:, None], fv[order], 0)
             x = SparseVoxelTensor(
                 keys=skeys, feats=feats, active=active,
                 spatial_shape=spatial_shape, batch_size=device_batch,
@@ -71,7 +80,7 @@ def make_sharded_forward(
     sharded = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
@@ -88,9 +97,11 @@ def stack_device_batches(batches, n_dev: int):
         real = len(chunk)
         while len(chunk) < n_dev:
             chunk.append(chunk[-1])
-        coords = np.stack([b.coords for b in chunk])
-        xyz = np.stack([b.feats[:, :3] for b in chunk])
+        comp = [b.compressed_xyz_upload() for b in chunk]
+        coords16 = np.stack([c[0] for c in comp])
+        res16 = np.stack([c[1] for c in comp])
+        origins = np.stack([c[2] for c in comp])
         valid = np.stack([b.valid for b in chunk])
         keep = np.arange(n_dev) < real
-        groups.append((chunk, coords, xyz, valid, keep))
+        groups.append((chunk, coords16, res16, valid, origins, keep))
     return groups

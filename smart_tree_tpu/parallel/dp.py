@@ -54,6 +54,28 @@ def _decode_targets(radius16, dir_cls8):
     return jnp.concatenate([radius, dc[:, :3] / 127.0, dc[:, 3:4]], axis=1)
 
 
+def make_features(coords16, res16, origins, voxel_size: float, mode: str):
+    """Input features per mode.
+
+    "xyz"   — absolute point coordinates (reference parity, 3 channels).
+    "local" — [sub-voxel residual / voxel_size (3), absolute y (1)]:
+              the rulebook slot already encodes each neighbor's integer
+              offset, so the residual is the ONLY geometry the conv lacks;
+              handing it over directly (instead of absolute xyz the net
+              must difference internally) makes direction-to-axis a local
+              function of the inputs. y keeps the global height prior the
+              class head uses. 4 channels.
+    """
+    coords, xyz = _decode_xyz(coords16, res16, origins, voxel_size)
+    if mode == "local":
+        feats = jnp.concatenate(
+            [res16.astype(jnp.float32) / voxel_size, xyz[:, 1:2]], axis=1
+        )
+    else:
+        feats = xyz
+    return coords, feats
+
+
 def make_dp_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -66,6 +88,7 @@ def make_dp_train_step(
     matmul_precision: str = "float32",
     voxel_size: float = 0.01,
     direction_loss: str = "cosine",
+    feature_mode: str = "xyz",
 ):
     """Build the jitted DP train step.
 
@@ -80,8 +103,8 @@ def make_dp_train_step(
     def per_shard(params, batch_stats, opt_state, coords16, res16, radius16,
                   dir_cls8, valid, origins):
         # shard_map gives each device its [1, cap, ...] slice; drop the axis
-        coords, xyz = _decode_xyz(coords16[0], res16[0], origins[0], voxel_size)
-        feats = xyz
+        coords, feats = make_features(coords16[0], res16[0], origins[0],
+                                      voxel_size, feature_mode)
         targets = _decode_targets(radius16[0], dir_cls8[0])
         valid = valid[0]
         mask = valid
@@ -158,12 +181,14 @@ def make_dp_eval_step(
     vector_class: int | None = 0,
     voxel_size: float = 0.01,
     direction_loss: str = "cosine",
+    feature_mode: str = "xyz",
 ):
     levels = len(model.unet_planes)
 
     def per_shard(params, batch_stats, coords16, res16, radius16, dir_cls8,
                   valid, origins):
-        coords, feats = _decode_xyz(coords16[0], res16[0], origins[0], voxel_size)
+        coords, feats = make_features(coords16[0], res16[0], origins[0],
+                                      voxel_size, feature_mode)
         targets = _decode_targets(radius16[0], dir_cls8[0])
         valid = valid[0]
         mask = valid

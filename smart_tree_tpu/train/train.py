@@ -257,10 +257,12 @@ def main(argv=None) -> int:
         matmul_precision=cfg.get("matmul_precision", "float32"),
         voxel_size=float(cfg["voxel_size"]),
         direction_loss=cfg.get("direction_loss", "cosine"),
+        feature_mode=cfg.get("feature_mode", "xyz"),
     )
     eval_step = make_dp_eval_step(
         model, spatial, per_dev_items, mesh, voxel_size=float(cfg["voxel_size"]),
         direction_loss=cfg.get("direction_loss", "cosine"),
+        feature_mode=cfg.get("feature_mode", "xyz"),
     )
 
     epochs_no_improve = 0
@@ -382,10 +384,11 @@ def _capture_forward(model, cap: int, spatial, nfeat: int):
 
     @jax.jit
     def fwd(variables, coords, feats, valid):
+        # feats = [model inputs (nfeat) | absolute xyz (3) for rendering]
         x = SparseVoxelTensor.from_coords(coords, feats, spatial, 1, valid=valid)
         plan = build_plan(x, len(model.unet_planes))
-        preds = model.apply(variables, plan, x.feats[:, :3], train=False)
-        return preds, x.feats, x.active
+        preds = model.apply(variables, plan, x.feats[:, :nfeat], train=False)
+        return preds, x.feats[:, nfeat:], x.active
 
     return fwd
 
@@ -399,7 +402,16 @@ def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int,
 
     from ..viz.render import Renderer
 
-    coords, feats, targets, name, _origin = dataset.item(0)
+    coords, feats, targets, name, origin = dataset.item(0)
+    xyz_abs = feats[:, :3]
+    if cfg.get("feature_mode", "xyz") == "local":
+        voxel = float(cfg["voxel_size"])
+        centre = origin[None, :] + (coords + 0.5) * voxel
+        feats = np.concatenate(
+            [(xyz_abs - centre) / voxel, xyz_abs[:, 1:2]], axis=1
+        ).astype(np.float32)
+    nfeat = feats.shape[1]
+    feats = np.concatenate([feats, xyz_abs], axis=1)  # carry xyz for render
     # static shapes: one compile for every epoch's capture
     cap = int(cfg["batch_capacity"])
     n = min(len(coords), cap)
@@ -409,14 +421,14 @@ def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int,
     fpad = np.zeros((cap, feats.shape[1]), np.float32)
     fpad[:n] = feats[:n]
     spatial = tuple(cfg["spatial_shape"])
-    fwd = _capture_forward(model, cap, spatial, feats.shape[1])
-    preds, sfeats, sactive = fwd(
+    fwd = _capture_forward(model, cap, spatial, nfeat)
+    preds, sxyz, sactive = fwd(
         {"params": state.params, "batch_stats": state.batch_stats},
         jnp.asarray(cpad), jnp.asarray(fpad),
         jnp.asarray(np.arange(cap) < n),
     )
     active = np.asarray(sactive)
-    xyz = np.asarray(sfeats[:, :3])[active]
+    xyz = np.asarray(sxyz)[active]
     cls = np.argmax(np.asarray(preds["class_l"])[active], axis=1)
     cmap = np.asarray(cfg.get("cmap", [[1, 0, 0], [0, 1, 0]]), np.float32)
     seg_rgb = cmap[np.clip(cls, 0, len(cmap) - 1)]

@@ -15,6 +15,7 @@ from smart_tree_tpu.parallel import make_mesh, make_sharded_forward
 
 def test_sharded_forward_matches_single_device():
     n_dev, cap, db, grid = 8, 128, 2, 24
+    voxel = 0.01
     model = SmartTree(
         unet_planes=(8, 16),
         radius_fc_planes=(8, 4, 1),
@@ -23,21 +24,32 @@ def test_sharded_forward_matches_single_device():
     )
     variables = init_template(model)
     mesh = make_mesh(n_dev)
-    fwd = make_sharded_forward(model, variables, (grid,) * 3, db, mesh)
+    fwd = make_sharded_forward(model, variables, (grid,) * 3, db, mesh,
+                               voxel_size=voxel)
 
     rng = np.random.default_rng(0)
-    coords = np.concatenate(
-        [
-            rng.integers(0, db, size=(n_dev, cap, 1)),
-            rng.integers(0, grid, size=(n_dev, cap, 3)),
-        ],
-        axis=2,
-    ).astype(np.int32)
-    feats = rng.normal(size=(n_dev, cap, 3)).astype(np.float32)
-    valid = rng.uniform(size=(n_dev, cap)) > 0.2
+    coords16 = np.full((n_dev, cap, 4), -1, np.int16)
+    valid = np.zeros((n_dev, cap), bool)
+    for d in range(n_dev):
+        c = np.unique(
+            np.concatenate(
+                [
+                    rng.integers(0, db, size=(cap, 1)),
+                    rng.integers(0, grid, size=(cap, 3)),
+                ],
+                axis=1,
+            ).astype(np.int16),
+            axis=0,
+        )
+        coords16[d, : len(c)] = c
+        valid[d, : len(c)] = True
+    res16 = rng.uniform(-voxel / 2, voxel / 2,
+                        size=(n_dev, cap, 3)).astype(np.float16)
+    origins = np.zeros((n_dev, db, 3), np.float32)
 
     preds, order, active, counts, caps = fwd(
-        jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid)
+        jnp.asarray(coords16), jnp.asarray(res16), jnp.asarray(valid),
+        jnp.asarray(origins),
     )
     assert counts.shape == (n_dev, 2) and caps.shape == (n_dev, 2)
 
@@ -46,8 +58,11 @@ def test_sharded_forward_matches_single_device():
     from smart_tree_tpu.infer.inference import compress_preds
 
     for d in range(n_dev):
+        coords = coords16[d].astype(np.int32)
+        xyz = ((coords[:, 1:] + 0.5) * voxel
+               + res16[d].astype(np.float32)).astype(np.float32)
         x = SparseVoxelTensor.from_coords(
-            jnp.asarray(coords[d]), jnp.asarray(feats[d]), (grid,) * 3, db,
+            jnp.asarray(coords), jnp.asarray(xyz), (grid,) * 3, db,
             valid=jnp.asarray(valid[d]),
         )
         plan = build_plan(x, 2)
@@ -59,13 +74,6 @@ def test_sharded_forward_matches_single_device():
                 rtol=2e-3, atol=1e-4, err_msg=f"device {d} key {k}",
             )
         np.testing.assert_array_equal(np.asarray(active[d]), np.asarray(x.active))
-        # the returned permutation reproduces the device's sorted features
-        od = np.asarray(order[d])
-        np.testing.assert_allclose(
-            np.where(np.asarray(active[d])[:, None], feats[d][od], 0),
-            np.asarray(x.feats),
-            atol=0,
-        )
 
 
 def test_model_inference_multichip_equals_single(tmp_path, monkeypatch):

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--capacity", type=int, default=65536)
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--fp16", action="store_true")
+    ap.add_argument("--features", default="xyz", choices=["xyz", "local"])
+    ap.add_argument("--direction-loss", default="cosine",
+                    choices=["cosine", "l2raw"])
     args = ap.parse_args()
 
     cloud, _ = generate_tree(seed=args.seed, height=8.0, trunk_radius=0.15,
@@ -54,7 +57,10 @@ def main():
     vb = collate([(coords, data[:, :3], data[:, 3:], "probe", origin)], 1,
                  capacity=args.capacity, voxel_size=0.01)
 
-    model = SmartTree(bn_axis_name="dp")
+    model = SmartTree(
+        bn_axis_name="dp",
+        input_channels=4 if args.features == "local" else 3,
+    )
     variables = init_template(model)
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -66,6 +72,8 @@ def main():
         model, optimizer, vb.spatial_shape, 1, mesh,
         compute_dtype=jnp.bfloat16 if args.fp16 else jnp.float32,
         voxel_size=0.01,
+        direction_loss=args.direction_loss,
+        feature_mode=args.features,
     )
 
     def tile(a):
