@@ -89,6 +89,7 @@ def make_dp_train_step(
     voxel_size: float = 0.01,
     direction_loss: str = "cosine",
     feature_mode: str = "xyz",
+    direction_weight: float = 1.0,
 ):
     """Build the jitted DP train step.
 
@@ -138,7 +139,8 @@ def make_dp_train_step(
             )
             losses = compute_loss(preds, t_sorted, m_sorted,
                                   vector_class=vector_class,
-                                  direction_loss=direction_loss)
+                                  direction_loss=direction_loss,
+                                  direction_weight=direction_weight)
             total = sum(losses.values())
             return total, (losses, updates["batch_stats"])
 

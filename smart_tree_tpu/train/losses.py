@@ -73,6 +73,7 @@ def compute_loss(
     vector_class: int | None = 0,
     target_radius_log: bool = True,
     direction_loss: str = "cosine",
+    direction_weight: float = 1.0,
 ) -> Dict[str, jax.Array]:
     """targets: [N, 5] = [radius, direction(3), class]; mask: [N] bool
     (loss mask AND active-voxel mask). Matches reference loss.py:7-50.
@@ -100,6 +101,6 @@ def compute_loss(
 
     return {
         "radius": l1_loss(preds["radius"], target_radius, vmask),
-        "direction": dloss,
+        "direction": direction_weight * dloss,
         "class_l": focal_loss(preds["class_l"], target_class, mask),
     }
