@@ -50,15 +50,19 @@ def build_plan(
     level_capacity_factor: float = 1.0,
     min_capacity: int = 256,
     subm_mode: str = "z9",
+    level_capacities: Tuple[int, ...] | None = None,
 ) -> UNetPlan:
     """Build rulebooks for `num_levels` UNet levels (len(unet_planes)).
 
     level_capacity_factor sizes each level's buffer relative to the previous
     one. IMPORTANT: a stride-2 sparse conv can have MORE output voxels than
     inputs (each input touches up to 8 coarse cells and sparse data may not
-    dedup them), so the safe default is 1.0; every LevelPlan carries `count`
-    so callers can detect overflow (see check_plan / plan counts in
-    infer/inference.py).
+    dedup them — observed ~3x expansion on sparse scans), so no fixed factor
+    is universally safe; every LevelPlan carries the TRUE dedup `count`
+    (which exceeds the buffer size on overflow) so callers can detect it and
+    rebuild with `level_capacities` — explicit per-level buffer sizes
+    (levels 1..), taking precedence over the factor (the counts-driven retry
+    in infer/inference.py).
 
     subm_mode: "z9" (default — compact z-window rulebook, 8 searchsorteds +
     9 wide gathers per level) or "full" ([N,27] lookup rulebook)."""
@@ -67,15 +71,26 @@ def build_plan(
     shape = x.spatial_shape
     batch = x.batch_size
     cap = x.capacity
+    # True voxel count of the current level. For level 0 that is the number
+    # of active input keys; deeper levels use downsample_coords' dedup count,
+    # which (unlike sum(active) over the TRUNCATED key table) still exceeds
+    # capacity when the buffer overflowed — sum(active) saturates at cap and
+    # made overflow invisible to the counts>caps check (round-3 fix).
+    true_count = None
     for lvl in range(num_levels):
         active = keys != INVALID_KEY
-        count = jnp.sum(active.astype(jnp.int32))
+        count = (
+            jnp.sum(active.astype(jnp.int32)) if true_count is None else true_count
+        )
         if subm_mode == "z9":
             srb = subm_rulebook9(keys, shape, batch)
         else:
             srb = subm_rulebook(keys, shape, batch, 3)
         if lvl < num_levels - 1:
-            next_cap = max(int(cap * level_capacity_factor), min_capacity)
+            if level_capacities is not None:
+                next_cap = int(level_capacities[lvl + 1])
+            else:
+                next_cap = max(int(cap * level_capacity_factor), min_capacity)
             out_keys, out_shape, out_count = downsample_coords(
                 keys, shape, batch, next_cap
             )
@@ -93,6 +108,7 @@ def build_plan(
                 )
             )
             keys, shape, cap = out_keys, out_shape, next_cap
+            true_count = out_count
         else:
             levels.append(
                 LevelPlan(

@@ -26,6 +26,30 @@ from . import pallas_ops
 from .coords import INVALID_KEY
 from .rulebook import SubmRB9
 
+# Output rows per gather+GEMM chunk. The [chunk, 27*Cin] gather buffer and
+# its routing intermediate are the forward pass's dominant HBM transients;
+# chunking bounds them to ~2 x chunk*27*Cin*4 bytes (~450 MB at Cin=128)
+# REGARDLESS of level capacity — unchunked at 262k voxels x 128ch they reach
+# 3.6 GB each, which OOMed the round-2 bench (VERDICT r2 #2). Chunks stay
+# MXU-friendly: a [32768, 3456] x [3456, Cout] GEMM per step.
+_ROW_CHUNK = 32768
+
+
+def _map_row_chunks(fn, m: int, *arrays):
+    """Apply fn over row-chunks of the leading axis when m is large.
+
+    Capacities are pow2 (>= 1024), so m either divides evenly by _ROW_CHUNK
+    or is smaller than it; lax.map serializes the chunks, so only one
+    chunk's transients are live at a time."""
+    if m <= _ROW_CHUNK or m % _ROW_CHUNK != 0:
+        return fn(*arrays)
+    n_chunks = m // _ROW_CHUNK
+    chunked = tuple(
+        a.reshape((n_chunks, _ROW_CHUNK) + a.shape[1:]) for a in arrays
+    )
+    out = jax.lax.map(lambda xs: fn(*xs), chunked)
+    return out.reshape((m,) + out.shape[2:])
+
 
 def gather_conv(
     feats: jax.Array,
@@ -56,12 +80,16 @@ def gather_conv(
         return pallas_ops.fused_gather_gemm(feats, rulebook, weights)
     feats_ext = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
     idx = jnp.where(rulebook >= 0, rulebook, n)
-    g = feats_ext[idx]  # [M, K3, Cin]
-    g2 = g.reshape(g.shape[0], k3 * cin)
     w2 = weights.reshape(k3 * cin, cout)
-    return jnp.dot(
-        g2, w2, preferred_element_type=jnp.float32, precision=precision
-    ).astype(feats.dtype)
+
+    def chunk(idx_c):
+        g = feats_ext[idx_c]  # [m, K3, Cin]
+        g2 = g.reshape(g.shape[0], k3 * cin)
+        return jnp.dot(
+            g2, w2, preferred_element_type=jnp.float32, precision=precision
+        ).astype(feats.dtype)
+
+    return _map_row_chunks(chunk, idx.shape[0], idx)
 
 
 def _gather_conv_z(
@@ -104,29 +132,34 @@ def _gather_conv_z(
         axis=1,
     )  # [N, 3]
 
-    posc = jnp.clip(rb.pos, 0, n - 1)           # [M, 9]
-    g = w3[posc].reshape(posc.shape[0], 9, 3, cin)   # [M, 9, 3slot, Cin]
-    kw = k3w[posc]                                # [M, 9, 3slot]
-
-    # target keys per dz; uint32 +-1 also walks the z field of the packed key
-    q = rb.qkey                                   # [M, 9]
-    dz = jnp.asarray([0xFFFFFFFF, 0, 1], q.dtype)  # -1 mod 2^32, 0, +1
-    tgt = q[..., None] + dz[None, None, :]
-    # z-field edge guards: at z=0 a -1 borrows into y, at z=zmax-1 (when
-    # zmax fills the field) a +1 carries into y — both could alias REAL keys
-    zq = (q & jnp.asarray((1 << rb.zbits) - 1, q.dtype)).astype(jnp.int32)
-    ok_dz = jnp.stack([zq >= 1, jnp.ones_like(zq, bool), zq + 1 < rb.zmax], axis=-1)
-    ok = ok_dz & (q != INVALID_KEY)[..., None]    # [M, 9, 3dz]
-
-    m = (kw[..., :, None] == tgt[..., None, :]) & ok[..., None, :]  # [M,9,3s,3d]
-    g27 = jnp.einsum(
-        "mosc,mosd->modc", g, m.astype(feats.dtype), precision=precision
-    )  # [M, 9, 3dz, Cin] — (dx,dy) kx-major x dz fastest == kernel_offsets order
-    g2 = g27.reshape(g27.shape[0], 27 * cin)
     w2 = weights.reshape(27 * cin, cout)
-    return jnp.dot(
-        g2, w2, preferred_element_type=jnp.float32, precision=precision
-    ).astype(feats.dtype)
+    dz = jnp.asarray([0xFFFFFFFF, 0, 1], rb.qkey.dtype)  # -1 mod 2^32, 0, +1
+    zmask = jnp.asarray((1 << rb.zbits) - 1, rb.qkey.dtype)
+
+    def chunk(pos_c, q_c):
+        posc = jnp.clip(pos_c, 0, n - 1)              # [m, 9]
+        g = w3[posc].reshape(posc.shape[0], 9, 3, cin)  # [m, 9, 3slot, Cin]
+        kw = k3w[posc]                                # [m, 9, 3slot]
+        # target keys per dz; uint32 +-1 also walks the z field of the key
+        tgt = q_c[..., None] + dz[None, None, :]
+        # z-field edge guards: at z=0 a -1 borrows into y, at z=zmax-1 (when
+        # zmax fills the field) a +1 carries into y — both could alias REAL
+        # keys
+        zq = (q_c & zmask).astype(jnp.int32)
+        ok_dz = jnp.stack(
+            [zq >= 1, jnp.ones_like(zq, bool), zq + 1 < rb.zmax], axis=-1
+        )
+        ok = ok_dz & (q_c != INVALID_KEY)[..., None]  # [m, 9, 3dz]
+        m = (kw[..., :, None] == tgt[..., None, :]) & ok[..., None, :]
+        g27 = jnp.einsum(
+            "mosc,mosd->modc", g, m.astype(feats.dtype), precision=precision
+        )  # [m, 9, 3dz, Cin] — (dx,dy) kx-major x dz fastest == offsets order
+        g2 = g27.reshape(g27.shape[0], 27 * cin)
+        return jnp.dot(
+            g2, w2, preferred_element_type=jnp.float32, precision=precision
+        ).astype(feats.dtype)
+
+    return _map_row_chunks(chunk, rb.pos.shape[0], rb.pos, rb.qkey)
 
 
 def linear(feats: jax.Array, weights: jax.Array, bias: jax.Array | None = None):

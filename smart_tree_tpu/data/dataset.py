@@ -299,13 +299,36 @@ class BlockTiler:
     def __len__(self):
         return len(self.blocks)
 
-    def batches(self, batch_size: int = 4) -> Iterator[VoxelBatch]:
+    def batches(
+        self, batch_size: int = 4, max_capacity: int | None = None
+    ) -> Iterator[VoxelBatch]:
         """Greedy size-bucketed batches: blocks sorted by voxel count, so
         batch capacities (next pow2 of the sum) repeat across batches and
-        jit re-compiles only per distinct (capacity, spatial bucket)."""
+        jit re-compiles only per distinct (capacity, spatial bucket).
+
+        max_capacity caps the padded batch capacity (HBM-aware sizing,
+        core/memory.py): a batch closes early when adding the next block
+        would push the pow2 capacity past it — the batch SPLITS instead of
+        the device OOMing (VERDICT r2 #4). A single block larger than
+        max_capacity still ships alone (the per-level overflow counters and
+        factor-1.0 retry in infer/inference.py remain the safety net)."""
         order = np.argsort([len(b.coords) for b in self.blocks])
-        for start in range(0, len(order), batch_size):
-            chunk = [self.blocks[i] for i in order[start : start + batch_size]]
+        chunk: List[Block] = []
+        total = 0
+        for i in order:
+            blk = self.blocks[i]
+            n = len(blk.coords)
+            over = max_capacity is not None and chunk and (
+                _ceil_pow2(total + n) > max_capacity
+            )
+            if len(chunk) == batch_size or over:
+                yield collate_blocks(
+                    chunk, batch_size, self.grid_shape, self.voxel_size
+                )
+                chunk, total = [], 0
+            chunk.append(blk)
+            total += n
+        if chunk:
             yield collate_blocks(chunk, batch_size, self.grid_shape, self.voxel_size)
 
 

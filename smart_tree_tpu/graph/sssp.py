@@ -119,7 +119,12 @@ def sssp_multi(
     cand = cand.at[jnp.where(hit_v, v, 0)].min(jnp.where(hit_v, u, big))
     cand = cand.at[jnp.where(hit_u, u, 0)].min(jnp.where(hit_u, v, big))
     pred = jnp.where((cand < big), cand, -1)
-    pred = pred.at[src_safe].set(jnp.where(sources >= 0, -1, pred[src_safe]))
+    # force pred=-1 at the sources with a duplicate-safe scatter: padding
+    # sources (-1, clipped to 0) must not race a REAL root at vertex 0 —
+    # .set with duplicate indices is nondeterministic (ADVICE r2); .max of
+    # booleans is order-independent.
+    is_src = jnp.zeros((n,), bool).at[src_safe].max(sources >= 0)
+    pred = jnp.where(is_src, -1, pred)
     return dist, pred
 
 

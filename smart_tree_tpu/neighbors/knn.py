@@ -34,7 +34,12 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
     # ~(0.25 m)^2 error — the true neighbour never even enters the top-K.
     # Centre the coordinates (minimises |s|^2, the cancellation magnitude)
     # and force full-fp32 MXU passes for the selection matmul.
-    centre = (jnp.min(dst, axis=0) + jnp.max(dst, axis=0)) * 0.5
+    # mask padding rows before the reduction — a non-finite or far-away
+    # padding coordinate would corrupt the centre (inf-inf -> NaN shifts
+    # every distance; ADVICE r2). Fallback row 0 when nothing is valid.
+    anchor = dst[jnp.argmax(dst_valid)]
+    dst_m = jnp.where(dst_valid[:, None], dst, anchor[None, :])
+    centre = (jnp.min(dst_m, axis=0) + jnp.max(dst_m, axis=0)) * 0.5
     src = src - centre
     dst = dst - centre
     n = src.shape[0]

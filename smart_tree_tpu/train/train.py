@@ -415,6 +415,14 @@ def capture_epoch(state, model, dataset, cfg, out_dir: Path, epoch: int,
     # static shapes: one compile for every epoch's capture
     cap = int(cfg["batch_capacity"])
     n = min(len(coords), cap)
+    if n < len(coords):
+        # viz-only, but "no silent caps" applies (VERDICT r2 weak #8)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "capture_epoch: cloud %s has %d voxels > batch_capacity %d — "
+            "rendering the first %d only", name, len(coords), cap, n,
+        )
     cpad = np.full((cap, 4), -1, np.int32)
     cpad[:n, 0] = 0
     cpad[:n, 1:] = coords[:n]

@@ -11,13 +11,28 @@ CPU suite can't see (they self-skip when the backend isn't a TPU).
 """
 
 import os
+import re
+
+
+def _is_tpu_lane(mark_expr: str) -> bool:
+    """True only when the -m expression *selects* tpu tests (e.g. "tpu" or
+    "tpu and foo"), not when it excludes them ("not tpu") — a substring test
+    would route the default suite onto the real accelerator (ADVICE r2)."""
+    if not mark_expr:
+        return False
+    if re.search(r"\bnot\s+tpu\b", mark_expr):
+        return False
+    return re.search(r"\btpu\b", mark_expr) is not None
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: exercises the real TPU backend (run with -m tpu)"
     )
-    if "tpu" in (config.getoption("-m") or ""):
+    config.addinivalue_line(
+        "markers", "slow: takes >30s on this 1-core host (deselect with -m 'not slow')"
+    )
+    if _is_tpu_lane(config.getoption("-m") or ""):
         return  # keep the real accelerator backend
 
     flags = os.environ.get("XLA_FLAGS", "")

@@ -17,9 +17,12 @@ WEIGHTS = Path(__file__).resolve().parent.parent / (
     "smart_tree_tpu/weights/synthetic-r2.npz"
 )
 
-pytestmark = pytest.mark.skipif(
-    not WEIGHTS.exists(), reason="round-2 trained checkpoint not present yet"
-)
+pytestmark = [
+    pytest.mark.slow,  # ~9 min on this 1-core host
+    pytest.mark.skipif(
+        not WEIGHTS.exists(), reason="round-2 trained checkpoint not present yet"
+    ),
+]
 
 
 def test_pipeline_recovers_skeleton_from_predictions():

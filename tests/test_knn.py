@@ -86,15 +86,21 @@ def test_grid_knn_matches_brute_force():
     assert (gi >= 0).sum() == (bi >= 0).sum()
 
 
-def test_grid_knn_cell_cap_raises():
+def test_grid_knn_cell_cap_overflow():
+    """Overcrowded cells: auto_grow (default) reruns with a grown cap and
+    returns EXACT results; auto_grow=False + strict raises (ADVICE r2)."""
     import pytest
 
+    from smart_tree_tpu.neighbors import knn as brute_knn
     from smart_tree_tpu.neighbors.grid import grid_knn
 
     rng = np.random.default_rng(12)
     pts = rng.normal(scale=0.01, size=(500, 3)).astype(np.float32)  # one cell
     with pytest.raises(RuntimeError, match="cell_cap"):
-        grid_knn(pts, pts, 4, 0.5, cell_cap=16)
+        grid_knn(pts, pts, 4, 0.5, cell_cap=16, auto_grow=False)
+    d, i = map(np.asarray, grid_knn(pts, pts, 4, 0.5, cell_cap=16))
+    bd, bi = map(np.asarray, brute_knn(pts, pts, 4, 0.5))
+    np.testing.assert_allclose(d, bd, rtol=1e-5, atol=1e-6)
 
 
 def test_grid_knn_src_outside_dst_extent():

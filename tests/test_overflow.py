@@ -62,6 +62,37 @@ def test_sample_tree_branch_cap_raises():
         sample_tree(pts, radii, preds, dist, mask, hop_cap=16, max_branches=4)
 
 
+def test_inference_level_overflow_retries_at_full_capacity():
+    """A too-small level_capacity_factor must not corrupt output OR fail the
+    forward: the offending batch reruns once at factor 1.0 (round-3 policy;
+    VERDICT r2 #1b)."""
+    from pathlib import Path
+
+    from smart_tree_tpu.data.augmentations import CentreCloud
+    from smart_tree_tpu.data.synthetic import generate_tree
+    from smart_tree_tpu.infer.inference import ModelInference
+
+    weights = (
+        Path(__file__).resolve().parent.parent
+        / "smart_tree_tpu/weights/noble-elevator-58.npz"
+    )
+    cloud, _ = generate_tree(
+        seed=3, height=6.0, trunk_radius=0.12, points_per_m2=300.0,
+        foliage_points=500,
+    )
+    cloud = CentreCloud()(cloud)
+    tiny = ModelInference(str(weights), level_capacity_factor=0.05)
+    ref = ModelInference(str(weights), level_capacity_factor=1.0)
+    out_tiny = tiny.forward(cloud)
+    out_ref = ref.forward(cloud)
+    assert len(out_tiny) == len(out_ref) > 0
+    np.testing.assert_allclose(
+        np.asarray(out_tiny.medial_vector),
+        np.asarray(out_ref.medial_vector),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_voxel_downsample_reports_out_of_grid():
     import jax.numpy as jnp
 

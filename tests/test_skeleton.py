@@ -43,6 +43,7 @@ def test_select_path_points_radius_gate():
     assert on.tolist() == [True, True, False]
 
 
+@pytest.mark.slow  # ~40s
 def test_skeletonizer_recovers_synthetic_tree():
     cloud, gt_skel = generate_tree(
         seed=3, height=4.0, trunk_radius=0.12, points_per_m2=4000.0, max_depth=2
