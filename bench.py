@@ -78,31 +78,31 @@ def run_bench(
         jax.profiler.stop_trace()
         print(f"# trace written to {profile_dir}", file=sys.stderr)
 
-    # device-only metric: warm jitted step time on pre-staged device inputs
-    # (voxel sort + rulebooks + full UNet forward; excludes host tiling and
-    # the host<->device tunnel, which dominates end-to-end in this dev
-    # environment — BASELINE.md "tunnel-bound" note). This is the number
-    # that transfers to production hosts with real PCIe/ICI bandwidth.
+    # device-only metric: TRUE per-forward device time, measured by running
+    # the full forward (voxel sort + rulebooks + UNet) CHAINED inside one
+    # jit and differencing two chain lengths. Per-call timing is useless in
+    # this dev environment: each dispatch crosses a remote relay whose
+    # per-call overhead (measured round 3) is 100-1000x the actual device
+    # compute — in-jit the same conv is ~1 us vs ~12 ms per-call. The
+    # chained number is what transfers to production hosts.
     tiler = BlockTiler(cloud.host(), 0.01, 4.0, 0.4)
     dev_total_s = 0.0
+    dispatch_total_s = 0.0
+    chain = max(2, dev_reps)
     for vb in tiler.batches(4):
-        c16, res, orig = vb.compressed_xyz_upload()
-        args = (mi.variables, jnp.asarray(c16), jnp.asarray(res),
-                jnp.asarray(orig), jnp.asarray(vb.valid))
-        run = mi._compiled(len(vb.coords), vb.spatial_shape, vb.batch_size)
-        out = jax.block_until_ready(run(*args))  # warm + stage inputs
-        counts, caps = np.asarray(out[3]), np.asarray(out[4])
-        while (counts > caps).any():  # overflow: time the resized variant
-            run = mi._compiled(
-                len(vb.coords), vb.spatial_shape, vb.batch_size,
-                mi._retry_caps(counts, caps),
-            )
-            out = jax.block_until_ready(run(*args))
-            counts, caps = np.asarray(out[3]), np.asarray(out[4])
-        t0 = time.perf_counter()
-        for _ in range(dev_reps):
-            jax.block_until_ready(run(*args))
-        dev_total_s += (time.perf_counter() - t0) / dev_reps
+        step = mi.chained_step(vb)
+
+        def timed(n, reps=2):
+            jax.block_until_ready(step(n))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                jax.block_until_ready(step(n))
+            return (time.perf_counter() - t0) / reps
+
+        t1 = timed(1)
+        t_n = timed(1 + chain)
+        dev_total_s += max((t_n - t1) / chain, 1e-9)
+        dispatch_total_s += t1
     device_pps = n_points / dev_total_s
 
     pps = n_points / dt
@@ -114,6 +114,7 @@ def run_bench(
         "device_step_s": round(dev_total_s, 4),
         "device_points_per_sec": round(device_pps, 1),
         "device_vs_cpu_baseline": round(device_pps / CPU_BASELINE_POINTS_PER_SEC, 2),
+        "dispatch_overhead_s": round(dispatch_total_s, 3),
         "n_points": n_points,
         "end_to_end_s": round(dt, 3),
     }

@@ -26,22 +26,32 @@ from . import pallas_ops
 from .coords import INVALID_KEY
 from .rulebook import SubmRB9
 
-# Output rows per gather+GEMM chunk. The [chunk, 27*Cin] gather buffer and
-# its routing intermediate are the forward pass's dominant HBM transients;
-# chunking bounds them to ~2 x chunk*27*Cin*4 bytes (~450 MB at Cin=128)
-# REGARDLESS of level capacity — unchunked at 262k voxels x 128ch they reach
-# 3.6 GB each, which OOMed the round-2 bench (VERDICT r2 #2). Chunks stay
-# MXU-friendly: a [32768, 3456] x [3456, Cout] GEMM per step.
+# Row chunking bounds the [chunk, 27*Cin] gather transients for VERY large
+# (capacity x channel) products — the factor-1.0 retry path at 262k voxels x
+# 128ch would otherwise materialize 2 x 3.6 GB (the round-2 bench OOM).
+# IMPORTANT (measured, real v5e): a gather inside lax.map loses XLA's fast
+# TPU gather lowering — the SAME conv is 0.07 ms unchunked vs 11.6 ms
+# chunked (tools/bench_conv_bisect.py vs bench_conv.py, round 3). So
+# chunking must engage ONLY when the unchunked transient would threaten HBM:
+# never on the default factor-0.5 path (largest transient there is ~450 MB
+# fp32), only on oversized retry shapes.
 _ROW_CHUNK = 32768
+_CHUNK_TRANSIENT_BYTES = 1 << 30  # chunk only past ~1 GB per gather buffer
 
 
-def _map_row_chunks(fn, m: int, *arrays):
-    """Apply fn over row-chunks of the leading axis when m is large.
+def _map_row_chunks(fn, m: int, width: int, *arrays):
+    """Apply fn over row-chunks of the leading axis only when the gather
+    transient (m rows x `width` fp32 elements) would exceed the ~1 GB
+    threshold; otherwise run unchunked (fast XLA gather lowering).
 
     Capacities are pow2 (>= 1024), so m either divides evenly by _ROW_CHUNK
     or is smaller than it; lax.map serializes the chunks, so only one
     chunk's transients are live at a time."""
-    if m <= _ROW_CHUNK or m % _ROW_CHUNK != 0:
+    if (
+        m * width * 4 <= _CHUNK_TRANSIENT_BYTES
+        or m <= _ROW_CHUNK
+        or m % _ROW_CHUNK != 0
+    ):
         return fn(*arrays)
     n_chunks = m // _ROW_CHUNK
     chunked = tuple(
@@ -89,7 +99,7 @@ def gather_conv(
             g2, w2, preferred_element_type=jnp.float32, precision=precision
         ).astype(feats.dtype)
 
-    return _map_row_chunks(chunk, idx.shape[0], idx)
+    return _map_row_chunks(chunk, idx.shape[0], k3 * cin, idx)
 
 
 def _gather_conv_z(
@@ -159,7 +169,7 @@ def _gather_conv_z(
             g2, w2, preferred_element_type=jnp.float32, precision=precision
         ).astype(feats.dtype)
 
-    return _map_row_chunks(chunk, rb.pos.shape[0], rb.pos, rb.qkey)
+    return _map_row_chunks(chunk, rb.pos.shape[0], 27 * cin, rb.pos, rb.qkey)
 
 
 def linear(feats: jax.Array, weights: jax.Array, bias: jax.Array | None = None):

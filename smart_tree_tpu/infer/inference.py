@@ -182,8 +182,17 @@ class ModelInference:
             in_flight=max(1, max_in_flight),
         )
 
-    @functools.lru_cache(maxsize=64)
     def _compiled(
+        self,
+        capacity: int,
+        spatial_shape: Tuple[int, int, int],
+        batch: int,
+        level_caps: Tuple[int, ...] | None = None,
+    ):
+        return self._compiled_parts(capacity, spatial_shape, batch, level_caps)[0]
+
+    @functools.lru_cache(maxsize=64)
+    def _compiled_parts(
         self,
         capacity: int,
         spatial_shape: Tuple[int, int, int],
@@ -197,8 +206,7 @@ class ModelInference:
         voxel = self.voxel_size
         feature_mode = "local" if self.model.input_channels == 4 else "xyz"
 
-        @jax.jit
-        def run(variables, coords16, res16, origins, valid):
+        def body(variables, coords16, res16, origins, valid):
             """Transfer-minimal forward: uploads int16 coords + fp16 voxel
             residuals (xyz reconstructed on device) and returns the sort
             permutation instead of permuted features so the host applies it
@@ -229,7 +237,40 @@ class ModelInference:
                 caps = jnp.asarray([lv.keys.shape[0] for lv in plan.levels])
                 return compress_preds(preds), order.astype(jnp.int32), active, counts, caps
 
-        return run
+        return jax.jit(body), body
+
+    def chained_step(self, vb):
+        """One jitted call executing the FULL forward `iters` times with a
+        data dependency between iterations. Timing two different `iters`
+        and differencing isolates true per-forward device time from
+        per-call dispatch/transfer overhead — on this dev environment's
+        relay the per-call overhead is SECONDS, which round-3 measurements
+        showed dominating every per-call 'device' number (in-jit the same
+        conv is ~1000x faster than its per-call timing)."""
+        _, body = self._compiled_parts(
+            len(vb.coords), vb.spatial_shape, vb.batch_size, None
+        )
+        c16, res, orig = vb.compressed_xyz_upload()
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run_n(variables, coords16, res16, origins, valid, n):
+            def it(i, carry):
+                res_c, acc = carry
+                preds, order, active, counts, caps = body(
+                    variables, coords16, res_c, origins, valid
+                )
+                # float dependency: next iteration's residuals depend on
+                # this iteration's output, so the loop cannot be hoisted
+                eps = (preds["radius"][0, 0].astype(jnp.float16)
+                       * jnp.float16(1e-8))
+                return res_c + eps, acc + preds["radius"][0, 0].astype(jnp.float32)
+            _, acc = jax.lax.fori_loop(
+                0, n, it, (res16, jnp.float32(0)))
+            return acc
+
+        args = (self.variables, jnp.asarray(c16), jnp.asarray(res),
+                jnp.asarray(orig), jnp.asarray(vb.valid))
+        return lambda n: run_n(*args, n=n)
 
     @functools.lru_cache(maxsize=64)
     def _compiled_sharded(self, capacity: int, spatial_shape, batch: int, n_dev: int):

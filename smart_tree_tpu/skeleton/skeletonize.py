@@ -69,6 +69,9 @@ class Skeletonizer:
     max_components: int = 64
     max_branches: int = 1024
     strict: bool = True  # raise on hop/branch-cap truncation (see path.py)
+    # extension (None = reference-faithful): clamp outlier-filter acceptance
+    # radii so sub-voxel twigs survive — see skeleton/filter.py docstring
+    min_filter_radius: float | None = None
 
     def forward(self, cloud: Cloud) -> DisjointTreeSkeleton:
         cloud = cloud.device()
@@ -77,7 +80,9 @@ class Skeletonizer:
         xyz = jnp.asarray(cloud.xyz, jnp.float32)
         n = medial_pts.shape[0]
 
-        keep = outlier_removal(medial_pts, radii, nb_points=8)
+        keep = outlier_removal(
+            medial_pts, radii, nb_points=8, min_radius=self.min_filter_radius
+        )
         log.info("skeletonize: %d medial pts, %d after outlier removal",
                  n, int(keep.sum()))
 

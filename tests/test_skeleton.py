@@ -95,3 +95,31 @@ def test_skeletonizer_separates_disjoint_trees():
         assert xs.max() - xs.min() < 4.0, "skeleton spans both trees"
         sides.add(xs.mean() > 2.5)
     assert sides == {False, True}, "expected skeletons on both sides"
+
+
+@pytest.mark.slow  # two full skeletonizer runs, ~1 min
+def test_min_filter_radius_recovers_thin_branches():
+    """The min_filter_radius extension (skeleton/filter.py): clamping the
+    outlier filter's acceptance radius keeps sub-voxel twigs whose medial
+    points are spaced wider than their own radius — recovered length must
+    strictly improve over the reference-faithful default on a twig-rich
+    tree (round-3 measured 36% -> 48% on the e2e workload)."""
+    import numpy as np
+
+    from smart_tree_tpu.data.cloud import Cloud
+
+    cloud, gt = generate_tree(seed=1000, height=5.0, trunk_radius=0.12,
+                              points_per_m2=4000.0)
+    m = np.asarray(cloud.class_l).reshape(-1) == 0
+    oracle = Cloud(
+        xyz=np.asarray(cloud.xyz)[m],
+        medial_vector=np.asarray(cloud.medial_vector)[m],
+    )
+    lengths = {}
+    for clamp in (None, 0.02):
+        sk = Skeletonizer(hop_cap=16384, strict=False, min_filter_radius=clamp)
+        out = sk.forward(oracle)
+        lengths[clamp] = sum(
+            b.length for s in out.skeletons for b in s.branches.values()
+        )
+    assert lengths[0.02] > lengths[None] * 1.1, lengths

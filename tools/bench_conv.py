@@ -59,11 +59,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cap", type=int, default=131072)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--level", type=int, default=-1, help="bench only this level")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     spatial = (448, 448, 448)
     results = []
     for level, cin in enumerate([8, 16, 32, 64]):
+        if args.level >= 0 and level != args.level:
+            continue
         cap = max(args.cap >> level, 1024)
         coords, n = _level_tensor(level, cap, spatial, 1)
         shape = tuple(s >> level for s in spatial)
