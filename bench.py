@@ -64,15 +64,21 @@ def run_bench(
         precision="bfloat16",
     )
 
+    def note(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
     # warmup (compile)
+    note(f"warmup forward ({n_points} points)...")
     mi.forward(cloud)
+    note("warmup done; timing end-to-end forwards")
     profile_dir = None
     if profile:
         profile_dir = "/tmp/smart_tree_profile"
         jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
-    for _ in range(reps):
+    for r in range(reps):
         mi.forward(cloud)
+        note(f"forward rep {r + 1}/{reps} done")
     dt = (time.perf_counter() - t0) / reps
     if profile_dir:
         jax.profiler.stop_trace()
@@ -88,8 +94,9 @@ def run_bench(
     tiler = BlockTiler(cloud.host(), 0.01, 4.0, 0.4)
     dev_total_s = 0.0
     dispatch_total_s = 0.0
-    chain = max(2, dev_reps)
-    for vb in tiler.batches(4):
+    for bi, vb in enumerate(tiler.batches(4)):
+        note(f"batch {bi}: cap={len(vb.coords)} spatial={vb.spatial_shape} "
+             f"— compiling chained step")
         step = mi.chained_step(vb)
 
         def timed(n, reps=2):
@@ -100,7 +107,15 @@ def run_bench(
             return (time.perf_counter() - t0) / reps
 
         t1 = timed(1)
+        # chain length trades resolution against per-call duration: it must
+        # be long enough to rise above the relay's per-call overhead (3 ms
+        # to ~3 s depending on load) but short enough that one device
+        # program stays under the relay's RPC deadline — a 17-chain 262k
+        # batch (~70 s single call) faulted the device with UNAVAILABLE
+        chain = max(2, min(max(16, dev_reps), int(35.0 / max(t1, 0.1))))
         t_n = timed(1 + chain)
+        note(f"batch {bi}: t1={t1:.3f}s t{1+chain}={t_n:.3f}s "
+             f"-> {(t_n - t1) / chain:.4f}s/forward")
         dev_total_s += max((t_n - t1) / chain, 1e-9)
         dispatch_total_s += t1
     device_pps = n_points / dev_total_s

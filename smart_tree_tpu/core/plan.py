@@ -49,7 +49,7 @@ def build_plan(
     num_levels: int,
     level_capacity_factor: float = 1.0,
     min_capacity: int = 256,
-    subm_mode: str = "z9",
+    subm_mode: str = "full",
     level_capacities: Tuple[int, ...] | None = None,
 ) -> UNetPlan:
     """Build rulebooks for `num_levels` UNet levels (len(unet_planes)).
@@ -64,8 +64,11 @@ def build_plan(
     (levels 1..), taking precedence over the factor (the counts-driven retry
     in infer/inference.py).
 
-    subm_mode: "z9" (default — compact z-window rulebook, 8 searchsorteds +
-    9 wide gathers per level) or "full" ([N,27] lookup rulebook)."""
+    subm_mode: "full" (default — [N,27] lookup rulebook; its plain gather +
+    one GEMM measured ~4x faster than the z9 window path on real v5e, where
+    the z9 routing einsum lowers poorly — docs/PERF.md round 3) or "z9"
+    (compact z-window rulebook, 8 searchsorteds + 9 wide gathers per
+    level; numerically identical, kept for narrower-HBM configurations)."""
     levels: List[LevelPlan] = []
     keys = x.keys
     shape = x.spatial_shape

@@ -328,9 +328,54 @@ def load_pcd_cloud(path) -> Cloud:
     return Cloud(xyz=xyz[finite], rgb=rgb[finite])
 
 
+def _cloud_from_columns(cols: np.ndarray) -> Cloud:
+    """xyz [+ rgb] from a float column matrix (shared by .xyz/.pts/.obj).
+    Trailing columns beyond 3 are treated as rgb when there are >= 3 of
+    them (last 3 taken, so `x y z i r g b` .pts rows work); 0-255 colors
+    are normalized."""
+    xyz = cols[:, :3].astype(np.float32)
+    rgb = None
+    if cols.shape[1] >= 6:
+        rgb = cols[:, -3:].astype(np.float32)
+        if rgb.size and rgb.max() > 1.0:
+            rgb = rgb / 255.0
+    if rgb is None:
+        rgb = np.zeros_like(xyz)  # zero-rgb fallback, reference file.py:161-166
+    finite = np.isfinite(xyz).all(axis=1)
+    return Cloud(xyz=xyz[finite], rgb=rgb[finite])
+
+
+def load_xyz_cloud(path) -> Cloud:
+    """Whitespace-separated `x y z [r g b]` rows (.xyz / .pts; a leading
+    bare point-count line, common in .pts, is skipped)."""
+    with open(path) as f:
+        first = f.readline().split()
+        skip = 1 if len(first) == 1 else 0
+    cols = np.loadtxt(path, dtype=np.float64, skiprows=skip, ndmin=2)
+    return _cloud_from_columns(cols)
+
+
+def load_obj_cloud(path) -> Cloud:
+    """Vertex positions (+ per-vertex colors when present) from a Wavefront
+    .obj — the reference reads these through Open3D (file.py:156-167); only
+    the point cloud is needed here."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                rows.append([float(t) for t in line.split()[1:7]])
+    if not rows:
+        return Cloud(xyz=np.zeros((0, 3), np.float32),
+                     rgb=np.zeros((0, 3), np.float32))
+    width = min(len(r) for r in rows)
+    cols = np.asarray([r[:width] for r in rows], np.float64)
+    return _cloud_from_columns(cols)
+
+
 def load_cloud(path) -> Cloud:
-    """Load .npz (synthetic-trees schema), .ply, or .pcd; anything else
-    falls back to Open3D when available (reference file.py:156-167)."""
+    """Load .npz (synthetic-trees schema), .ply, .pcd, .xyz, .pts, or .obj;
+    anything else falls back to Open3D when available (reference
+    file.py:156-167 reads every non-npz format through Open3D)."""
     path = Path(path)
     if path.suffix == ".npz":
         with np.load(path) as data:
@@ -341,13 +386,17 @@ def load_cloud(path) -> Cloud:
         cld = load_ply_cloud(path)
     elif path.suffix == ".pcd":
         cld = load_pcd_cloud(path)
+    elif path.suffix in (".xyz", ".pts", ".txt"):
+        cld = load_xyz_cloud(path)
+    elif path.suffix == ".obj":
+        cld = load_obj_cloud(path)
     else:
         try:
             import open3d as o3d  # optional, absent in this environment
         except ImportError as e:
             raise ValueError(
-                f"unsupported cloud format {path.suffix} (npz/ply/pcd are "
-                "built in; others need open3d)"
+                f"unsupported cloud format {path.suffix} (npz/ply/pcd/xyz/"
+                "pts/obj are built in; others need open3d)"
             ) from e
         pc = o3d.io.read_point_cloud(str(path))
         xyz = np.asarray(pc.points, np.float32)

@@ -39,13 +39,14 @@ def sssp(
     )
 
 
-@partial(jax.jit, static_argnames=("num_vertices",))
+@partial(jax.jit, static_argnames=("num_vertices", "return_rounds"))
 def sssp_multi(
     edges: jax.Array,
     weights: jax.Array,
     edge_valid: jax.Array,
     sources: jax.Array,
     num_vertices: int,
+    return_rounds: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Undirected weighted shortest paths from MULTIPLE sources in one
     Bellman-Ford pass.
@@ -75,19 +76,21 @@ def sssp_multi(
     )
 
     def cond(state):
-        dist, changed = state
+        dist, changed, rounds = state
         return changed
 
     def body(state):
-        dist, _ = state
+        dist, _, rounds = state
         cand_v = dist[u] + w  # relax u -> v
         cand_u = dist[v] + w  # relax v -> u
         new = dist
         new = new.at[v].min(cand_v)
         new = new.at[u].min(cand_u)
-        return new, jnp.any(new < dist)
+        return new, jnp.any(new < dist), rounds + 1
 
-    dist, _ = jax.lax.while_loop(cond, body, (dist0, jnp.bool_(True)))
+    dist, _, rounds = jax.lax.while_loop(
+        cond, body, (dist0, jnp.bool_(True), jnp.int32(0))
+    )
 
     # Predecessor extraction. At the fixpoint dist[v] == fl(dist[u*] + w)
     # for a relaxation winner u*, but bit-exact matching is brittle: when
@@ -125,6 +128,12 @@ def sssp_multi(
     # booleans is order-independent.
     is_src = jnp.zeros((n,), bool).at[src_safe].max(sources >= 0)
     pred = jnp.where(is_src, -1, pred)
+    if return_rounds:
+        # rounds == hop-depth of the shortest-path forest + 1 (the final
+        # no-change round). Exposed for tools/bench_sssp.py (VERDICT r2
+        # weak #6: the while_loop is O(diameter) sequential rounds —
+        # measure whether that dominates before redesigning).
+        return dist, pred, rounds
     return dist, pred
 
 

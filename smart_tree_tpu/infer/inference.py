@@ -252,25 +252,40 @@ class ModelInference:
         )
         c16, res, orig = vb.compressed_xyz_upload()
 
-        @functools.partial(jax.jit, static_argnames=("n",))
+        @jax.jit
         def run_n(variables, coords16, res16, origins, valid, n):
+            # n is a traced scalar: fori_loop lowers to while_loop, so ONE
+            # compile serves every chain length (remote compiles cost
+            # minutes here; two static-n specializations per bucket doubled
+            # the bench's cold-start)
             def it(i, carry):
                 res_c, acc = carry
                 preds, order, active, counts, caps = body(
                     variables, coords16, res_c, origins, valid
                 )
-                # float dependency: next iteration's residuals depend on
-                # this iteration's output, so the loop cannot be hoisted
-                eps = (preds["radius"][0, 0].astype(jnp.float16)
-                       * jnp.float16(1e-8))
-                return res_c + eps, acc + preds["radius"][0, 0].astype(jnp.float32)
-            _, acc = jax.lax.fori_loop(
+                # FULL-TENSOR dependency: the next iteration's residuals
+                # depend elementwise on every head's full output. A scalar
+                # dependency (e.g. radius[0,0]) lets XLA slice the entire
+                # network down to one voxel's receptive-field cone — round 3
+                # measured 201 "forwards" in 2 ms that way. The 1e-30
+                # multiplier underflows fp16 to zero at runtime, so chained
+                # numerics stay identical; the compiler cannot know that.
+                dep = (
+                    preds["radius"].astype(jnp.float32)
+                    + jnp.sum(preds["direction"].astype(jnp.float32), axis=1,
+                              keepdims=True)
+                    + preds["class_l"].astype(jnp.float32)[:, None]
+                    + order.astype(jnp.float32)[:, None]
+                )  # [cap, 1]
+                eps = (dep * jnp.float32(1e-30)).astype(res_c.dtype)
+                return res_c + eps, acc + jnp.sum(dep)
+            res_f, acc = jax.lax.fori_loop(
                 0, n, it, (res16, jnp.float32(0)))
-            return acc
+            return acc + jnp.sum(res_f.astype(jnp.float32))
 
         args = (self.variables, jnp.asarray(c16), jnp.asarray(res),
                 jnp.asarray(orig), jnp.asarray(vb.valid))
-        return lambda n: run_n(*args, n=n)
+        return lambda n: run_n(*args, jnp.int32(n))
 
     @functools.lru_cache(maxsize=64)
     def _compiled_sharded(self, capacity: int, spatial_shape, batch: int, n_dev: int):

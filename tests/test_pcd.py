@@ -81,3 +81,46 @@ def test_pcd_nan_rows_dropped(tmp_path):
         f.write(xyz.tobytes())
     c = load_pcd_cloud(p)
     assert len(c.xyz) == 2
+
+
+def test_xyz_pts_obj_loaders(tmp_path):
+    """Text formats the reference reads via Open3D (util/file.py:156-167)."""
+    from smart_tree_tpu.data.file import load_obj_cloud, load_xyz_cloud
+
+    xyz = np.asarray([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0]], np.float32)
+    rgb255 = np.asarray([[255, 0, 0], [0, 128, 255]], np.float32)
+
+    p = tmp_path / "c.xyz"
+    np.savetxt(p, np.hstack([xyz, rgb255]))
+    c = load_cloud(p)
+    np.testing.assert_allclose(np.asarray(c.xyz), xyz, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c.rgb), rgb255 / 255.0, atol=1e-6)
+
+    # .pts with a leading count line and an intensity column
+    p = tmp_path / "c.pts"
+    with open(p, "w") as f:
+        f.write("2\n")
+        for row, col in zip(xyz, rgb255):
+            f.write(" ".join(map(str, row)) + " 0.7 "
+                    + " ".join(map(str, col)) + "\n")
+    c = load_cloud(p)
+    np.testing.assert_allclose(np.asarray(c.xyz), xyz, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c.rgb), rgb255 / 255.0, atol=1e-6)
+
+    # .obj vertices with per-vertex colors, plus faces/normals to skip
+    p = tmp_path / "c.obj"
+    with open(p, "w") as f:
+        f.write("# comment\nvn 0 1 0\n")
+        for row, col in zip(xyz, rgb255 / 255.0):
+            f.write("v " + " ".join(map(str, row)) + " "
+                    + " ".join(map(str, col)) + "\n")
+        f.write("f 1 2 1\n")
+    c = load_obj_cloud(p)
+    np.testing.assert_allclose(np.asarray(c.xyz), xyz, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c.rgb), rgb255 / 255.0, atol=1e-6)
+
+    # bare xyz (no color) -> zero rgb, reference file.py:161-166
+    p = tmp_path / "bare.xyz"
+    np.savetxt(p, xyz)
+    c = load_cloud(p)
+    assert np.all(np.asarray(c.rgb) == 0)

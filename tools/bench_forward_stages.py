@@ -75,7 +75,11 @@ def main():
             if stage == 3:
                 return jnp.sum(preds["radius"]).astype(jnp.float32)
             cp = compress_preds(preds)
-            return cp["radius"][0, 0].astype(jnp.float32)
+            # sum over EVERY output: a sliceable dep (e.g. radius[0,0])
+            # lets XLA cut the network to one voxel's cone
+            return (jnp.sum(cp["radius"].astype(jnp.float32))
+                    + jnp.sum(cp["direction"].astype(jnp.float32))
+                    + jnp.sum(cp["class_l"].astype(jnp.float32)))
 
     c16, res, orig = vb.compressed_xyz_upload()
     args = (mi.variables, jnp.asarray(c16), jnp.asarray(res),
