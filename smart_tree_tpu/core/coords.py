@@ -105,7 +105,15 @@ def lookup(sorted_keys: jax.Array, queries: jax.Array) -> jax.Array:
     queries; INVALID never matches because table INVALID slots are compared
     unequal by masking).
     """
-    pos = jnp.searchsorted(sorted_keys, queries, side="left").astype(jnp.int32)
+    # method="sort" (one sort of keys+queries) instead of the default
+    # binary-search "scan": on TPU, gathers/scatters cost ~3-7 ns PER INDEX
+    # and scan runs log2(N) sequential gather rounds over every query —
+    # 27*N rulebook queries made lookups ~90% of the UNet forward. Measured
+    # (real v5e, 131k voxels): ResBlock+rulebook 500 ms/iter with scan,
+    # 87 ms with sort, identical outputs (docs/PERF.md round 3).
+    pos = jnp.searchsorted(
+        sorted_keys, queries, side="left", method="sort"
+    ).astype(jnp.int32)
     pos_c = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
     hit = (sorted_keys[pos_c] == queries) & (queries != INVALID_KEY)
     return jnp.where(hit, pos_c, jnp.int32(-1))

@@ -133,7 +133,11 @@ def subm_rulebook9(
             pos_cols.append(rows)  # own row: keys are unique and sorted
         else:
             pos_cols.append(
-                jnp.searchsorted(keys, q[:, k], side="left").astype(jnp.int32)
+                # method="sort": see core/coords.py::lookup — the default
+                # binary-search lowering is per-index-latency-bound on TPU
+                jnp.searchsorted(
+                    keys, q[:, k], side="left", method="sort"
+                ).astype(jnp.int32)
             )
     pos = jnp.stack(pos_cols, axis=1)  # [N, 9]
     _, _, _, bz = key_bits(spatial_shape, batch_size)

@@ -105,7 +105,11 @@ def _grid_knn_impl(
         for o in range(9):
             nc = sc + jnp.asarray([offs[o, 0], offs[o, 1], -1], jnp.int32)
             nkey = _pack_cells(nc, bits, sv)  # key of the dz=-1 cell
-            start = jnp.searchsorted(keys_s, nkey, side="left").astype(jnp.int32)
+            start = jnp.searchsorted(
+                # method="sort": binary-search lowering is per-index-latency
+                # bound on TPU (see core/coords.py::lookup)
+                keys_s, nkey, side="left", method="sort"
+            ).astype(jnp.int32)
             idx = start[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
             safe = jnp.clip(idx, 0, m - 1)
             ckey = keys_s[safe]
