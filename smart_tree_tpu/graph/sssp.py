@@ -39,45 +39,31 @@ def sssp(
     )
 
 
-@partial(jax.jit, static_argnames=("num_vertices", "return_rounds"))
-def sssp_multi(
-    edges: jax.Array,
-    weights: jax.Array,
-    edge_valid: jax.Array,
-    sources: jax.Array,
-    num_vertices: int,
-    return_rounds: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Undirected weighted shortest paths from MULTIPLE sources in one
-    Bellman-Ford pass.
-
-    The skeletonizer needs one SSSP per connected component (reference
-    skeletonize.py:73-85 loops cugraph.sssp per component); since component
-    vertex sets are disjoint, seeding every component's root at distance 0
-    solves all of them simultaneously over the global padded edge list —
-    O(E * diameter) total instead of O(C * E * diameter).
-
-    edges [E,2] int32, weights [E] float32 >= 0, edge_valid [E] bool,
-    sources [S] int32 (-1 entries are padding).
-
-    Returns (dist [n] float32 — inf if unreachable from every source,
-             pred [n] int32 — predecessor on a shortest path, -1 at the
-             sources and at unreachable vertices), matching cugraph.sssp's
-    vertex/predecessor/distance contract per component.
-    """
+@partial(jax.jit, static_argnames=("num_vertices",))
+def _bf_init(edges, weights, edge_valid, sources, num_vertices):
     n = num_vertices
     u = jnp.where(edge_valid, edges[:, 0], 0)
     v = jnp.where(edge_valid, edges[:, 1], 0)
     w = jnp.where(edge_valid, weights, INF)
-
     src_safe = jnp.clip(sources, 0, n - 1)
     dist0 = jnp.full((n,), INF).at[src_safe].min(
         jnp.where(sources >= 0, 0.0, INF)
     )
+    return u, v, w, dist0
+
+
+@partial(jax.jit, static_argnames=("max_rounds",), donate_argnums=(3,))
+def _bf_chunk(u, v, w, dist, max_rounds: int):
+    """Up to max_rounds Bellman-Ford relaxation rounds in ONE device
+    program. Bounding the per-dispatch round count keeps each device call
+    under this environment's relay RPC deadline (a ~70 s single program
+    faulted the chip — docs/PERF.md); the host re-dispatches on a scalar
+    `changed` fetch with dist left device-resident, so the chunking costs
+    one scalar roundtrip per chunk, not a dist transfer."""
 
     def cond(state):
         dist, changed, rounds = state
-        return changed
+        return changed & (rounds < max_rounds)
 
     def body(state):
         dist, _, rounds = state
@@ -88,10 +74,65 @@ def sssp_multi(
         new = new.at[u].min(cand_u)
         return new, jnp.any(new < dist), rounds + 1
 
-    dist, _, rounds = jax.lax.while_loop(
-        cond, body, (dist0, jnp.bool_(True), jnp.int32(0))
+    dist, changed, rounds = jax.lax.while_loop(
+        cond, body, (dist, jnp.bool_(True), jnp.int32(0))
     )
+    return dist, changed, rounds
 
+
+def sssp_multi(
+    edges: jax.Array,
+    weights: jax.Array,
+    edge_valid: jax.Array,
+    sources: jax.Array,
+    num_vertices: int,
+    return_rounds: bool = False,
+    rounds_per_dispatch: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Undirected weighted shortest paths from MULTIPLE sources in one
+    Bellman-Ford pass.
+
+    The skeletonizer needs one SSSP per connected component (reference
+    skeletonize.py:73-85 loops cugraph.sssp per component); since component
+    vertex sets are disjoint, seeding every component's root at distance 0
+    solves all of them simultaneously over the global padded edge list —
+    O(E * diameter) total instead of O(C * E * diameter).
+
+    Rounds run in device programs of at most `rounds_per_dispatch`
+    relaxations each (host re-dispatch while changed): exact-SSSP frontiers
+    advance one hop per round, so total rounds = shortest-path-forest hop
+    depth (thousands on a tall tree at 1 cm voxels) — an unbounded single
+    program can exceed the relay's RPC deadline and fault the chip.
+
+    edges [E,2] int32, weights [E] float32 >= 0, edge_valid [E] bool,
+    sources [S] int32 (-1 entries are padding).
+
+    Returns (dist [n] float32 — inf if unreachable from every source,
+             pred [n] int32 — predecessor on a shortest path, -1 at the
+             sources and at unreachable vertices), matching cugraph.sssp's
+    vertex/predecessor/distance contract per component.
+    """
+    n = num_vertices
+    u, v, w, dist = _bf_init(edges, weights, edge_valid, sources, n)
+    rounds = 0
+    while True:
+        dist, changed, r = _bf_chunk(u, v, w, dist, rounds_per_dispatch)
+        rounds += int(r)
+        if not bool(changed):
+            break
+    pred = _bf_pred(u, v, w, edge_valid, sources, dist, n)
+    if return_rounds:
+        # rounds == hop-depth of the shortest-path forest + 1 (the final
+        # no-change round). Exposed for tools/bench_sssp.py (VERDICT r2
+        # weak #6).
+        return dist, pred, jnp.int32(rounds)
+    return dist, pred
+
+
+@partial(jax.jit, static_argnames=("num_vertices",))
+def _bf_pred(u, v, w, edge_valid, sources, dist, num_vertices: int):
+    n = num_vertices
+    src_safe = jnp.clip(sources, 0, n - 1)
     # Predecessor extraction. At the fixpoint dist[v] == fl(dist[u*] + w)
     # for a relaxation winner u*, but bit-exact matching is brittle: when
     # two points sit within one float32 ulp, parallel edge copies (the KNN
@@ -128,13 +169,7 @@ def sssp_multi(
     # booleans is order-independent.
     is_src = jnp.zeros((n,), bool).at[src_safe].max(sources >= 0)
     pred = jnp.where(is_src, -1, pred)
-    if return_rounds:
-        # rounds == hop-depth of the shortest-path forest + 1 (the final
-        # no-change round). Exposed for tools/bench_sssp.py (VERDICT r2
-        # weak #6: the while_loop is O(diameter) sequential rounds —
-        # measure whether that dominates before redesigning).
-        return dist, pred, rounds
-    return dist, pred
+    return pred
 
 
 @partial(jax.jit, static_argnames=("num_vertices",))

@@ -78,32 +78,23 @@ def select_path_points(points, points_valid, path_pts, path_radii, path_valid):
     return (i >= 0) & (d < path_radii[jnp.maximum(i, 0)])
 
 
-@partial(jax.jit, static_argnames=("hop_cap", "max_branches"))
-def sample_tree_device(
-    medial_pts: jax.Array,
-    medial_radii: jax.Array,
-    preds: jax.Array,
-    distances: jax.Array,
-    component_mask: jax.Array,
-    hop_cap: int = 2048,
-    max_branches: int = 4096,
-) -> SampleTreeResult:
-    n = medial_pts.shape[0]
-    radii = medial_radii.reshape(-1)
+class _S(NamedTuple):
+    dist: jax.Array
+    allocated: jax.Array
+    branch_ids: jax.Array
+    path_branch: jax.Array
+    path_pos: jax.Array
+    parents: jax.Array
+    count: jax.Array
+    hop_hits: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_branches",))
+def _sample_init(preds, distances, component_mask, max_branches: int) -> _S:
+    n = preds.shape[0]
     dist0 = jnp.where((preds > 0) & component_mask, distances, -1.0)
     dist0 = jnp.where(jnp.isfinite(dist0), dist0, -1.0)
-
-    class _S(NamedTuple):
-        dist: jax.Array
-        allocated: jax.Array
-        branch_ids: jax.Array
-        path_branch: jax.Array
-        path_pos: jax.Array
-        parents: jax.Array
-        count: jax.Array
-        hop_hits: jax.Array
-
-    init = _S(
+    return _S(
         dist=dist0,
         allocated=jnp.zeros((n,), bool),
         branch_ids=jnp.full((n,), -1, jnp.int32),
@@ -114,10 +105,39 @@ def sample_tree_device(
         hop_hits=jnp.zeros((), jnp.int32),
     )
 
-    def cond(s: _S):
+
+@partial(
+    jax.jit,
+    static_argnames=("hop_cap", "max_branches", "max_iters"),
+    donate_argnums=(3,),
+)
+def _sample_chunk(
+    medial_pts: jax.Array,
+    medial_radii: jax.Array,
+    preds: jax.Array,
+    state: _S,
+    hop_cap: int,
+    max_branches: int,
+    max_iters: int,
+):
+    """Up to max_iters greedy branch extractions in ONE device program.
+
+    One branch per loop round costs a trace (hop_cap sequential gathers)
+    plus an N x hop_cap KNN tile sweep; hundreds of branches in a single
+    unbounded program can exceed the relay RPC deadline and fault the chip
+    (docs/PERF.md) — the host re-dispatches on a scalar `more` fetch with
+    all state device-resident (donated, so no HBM doubling)."""
+    radii = medial_radii.reshape(-1)
+
+    def more_work(s: _S):
         return (jnp.max(s.dist) > 0) & (s.count < max_branches)
 
-    def body(s: _S):
+    def cond(state):
+        i, s = state
+        return (i < max_iters) & more_work(s)
+
+    def body(state):
+        i, s = state
         farthest = jnp.argmax(s.dist).astype(jnp.int32)
         path, length, term = trace_route(preds, farthest, s.allocated, hop_cap)
         # a trace that stopped only because of the hop cap (still mid-tree,
@@ -161,18 +181,43 @@ def sample_tree_device(
             jnp.where(make_branch, parent, s.parents[jnp.maximum(bid, 0)])
         )
         count = s.count + make_branch.astype(jnp.int32)
-        return _S(dist, allocated, branch_ids, path_branch, path_pos, parents,
-                  count, s.hop_hits + hop_hit.astype(jnp.int32))
+        return i + 1, _S(
+            dist, allocated, branch_ids, path_branch, path_pos, parents,
+            count, s.hop_hits + hop_hit.astype(jnp.int32),
+        )
 
-    out = jax.lax.while_loop(cond, body, init)
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    work_left = jnp.max(out.dist) > 0
+    return out, work_left, out.count < max_branches
+
+
+def sample_tree_device(
+    medial_pts: jax.Array,
+    medial_radii: jax.Array,
+    preds: jax.Array,
+    distances: jax.Array,
+    component_mask: jax.Array,
+    hop_cap: int = 2048,
+    max_branches: int = 4096,
+    branches_per_dispatch: int = 64,
+) -> SampleTreeResult:
+    state = _sample_init(preds, distances, component_mask, max_branches)
+    while True:
+        state, work_left, under_cap = _sample_chunk(
+            medial_pts, medial_radii, preds, state,
+            hop_cap, max_branches, branches_per_dispatch,
+        )
+        work_left, under_cap = bool(work_left), bool(under_cap)
+        if not (work_left and under_cap):
+            break
     return SampleTreeResult(
-        path_branch=out.path_branch,
-        path_pos=out.path_pos,
-        branch_ids=out.branch_ids,
-        branch_parents=out.parents,
-        branch_count=out.count,
-        hop_cap_hits=out.hop_hits,
-        branch_cap_hit=(jnp.max(out.dist) > 0) & (out.count >= max_branches),
+        path_branch=state.path_branch,
+        path_pos=state.path_pos,
+        branch_ids=state.branch_ids,
+        branch_parents=state.parents,
+        branch_count=state.count,
+        hop_cap_hits=state.hop_hits,
+        branch_cap_hit=work_left and not under_cap,
     )
 
 

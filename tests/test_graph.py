@@ -104,3 +104,60 @@ def test_tree_distances_branching():
     w = np.asarray([0, 1.0, 2.0, 0.5, 0.25, 3.0], np.float32)
     d = np.asarray(tree_distances(pred, w, 6))
     np.testing.assert_allclose(d, [0, 1.0, 2.0, 1.5, 1.25, 5.0], rtol=1e-6)
+
+
+def test_sssp_chunked_dispatch_equivalence():
+    # rounds_per_dispatch bounds each DEVICE PROGRAM, not the algorithm:
+    # tiny chunks must give bit-identical dist/pred to one big dispatch
+    # (graph/sssp.py::sssp_multi host re-dispatch loop)
+    from smart_tree_tpu.graph import sssp_multi
+
+    rng = np.random.default_rng(7)
+    n = 120
+    edges, weights, valid = random_graph(rng, n, 300)
+    sources = np.asarray([5, -1], np.int32)
+    d1, p1, r1 = sssp_multi(edges, weights, valid, sources, n,
+                            return_rounds=True, rounds_per_dispatch=4096)
+    d2, p2, r2 = sssp_multi(edges, weights, valid, sources, n,
+                            return_rounds=True, rounds_per_dispatch=2)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    # chunking may add one extra no-change probe round per dispatch
+    assert int(r2) >= int(r1)
+
+
+def test_sample_tree_chunked_dispatch_equivalence():
+    # branches_per_dispatch=1 (one greedy branch per device program) must
+    # produce the same branches as one unbounded program
+    import jax.numpy as jnp
+
+    from smart_tree_tpu.skeleton.path import sample_tree_device
+
+    rng = np.random.default_rng(3)
+    n = 60
+    # random tree: pred[v] < v, unit steps, distances = depth
+    pred = np.asarray(
+        [-1] + [rng.integers(0, v) for v in range(1, n)], np.int32)
+    depth = np.zeros(n, np.float32)
+    for v in range(1, n):
+        depth[v] = depth[pred[v]] + 1
+    pts = rng.uniform(0, 4, size=(n, 3)).astype(np.float32)
+    radii = np.full(n, 0.01, np.float32)  # tiny: no off-path capture
+    mask = np.ones(n, bool)
+
+    outs = []
+    for bpd in (4096, 1):
+        res = sample_tree_device(
+            jnp.asarray(pts), jnp.asarray(radii), jnp.asarray(pred),
+            jnp.asarray(depth), jnp.asarray(mask),
+            hop_cap=64, max_branches=128, branches_per_dispatch=bpd,
+        )
+        outs.append(res)
+    a, b = outs
+    np.testing.assert_array_equal(np.asarray(a.path_branch),
+                                  np.asarray(b.path_branch))
+    np.testing.assert_array_equal(np.asarray(a.branch_ids),
+                                  np.asarray(b.branch_ids))
+    np.testing.assert_array_equal(np.asarray(a.branch_parents),
+                                  np.asarray(b.branch_parents))
+    assert int(a.branch_count) == int(b.branch_count)
