@@ -18,9 +18,8 @@ from flax import struct
 
 from .coords import INVALID_KEY
 from .rulebook import (
-    downsample_coords,
-    inverse_rulebook,
-    strided_rulebook,
+    downsample_with_rulebook,
+    inverse_from_strided,
     subm_rulebook,
     subm_rulebook9,
 )
@@ -94,11 +93,13 @@ def build_plan(
                 next_cap = int(level_capacities[lvl + 1])
             else:
                 next_cap = max(int(cap * level_capacity_factor), min_capacity)
-            out_keys, out_shape, out_count = downsample_coords(
+            # one candidate sweep yields the coarse key table AND the
+            # strided pairing; the inverse pairing is its transpose — no
+            # sorted lookups at all for the level transition
+            out_keys, out_shape, out_count, drb = downsample_with_rulebook(
                 keys, shape, batch, next_cap
             )
-            drb = strided_rulebook(keys, out_keys, shape, out_shape, batch)
-            urb = inverse_rulebook(keys, out_keys, shape, out_shape, batch)
+            urb = inverse_from_strided(drb, keys.shape[0])
             levels.append(
                 LevelPlan(
                     keys=keys,

@@ -70,17 +70,51 @@ def subm_rulebook(
     batch_size: int,
     kernel_size: int = 3,
 ) -> jax.Array:
-    """Submanifold rulebook: idx [N, K^3] into the same (sorted) tensor."""
+    """Submanifold rulebook: idx [N, K^3] into the same (sorted) tensor.
+
+    Exploits offset symmetry: the kernel offsets of an odd K come in +-
+    pairs (offs[k] == -offs[K^3-1-k]) and the neighbor relation within ONE
+    table is symmetric — idx[i, k] = j  <=>  idx[j, K^3-1-k] = i. So only
+    the first (K^3-1)/2 columns are resolved by search; the center column
+    is the identity, and the mirror half is one vectorized scatter. On TPU
+    the search is the expensive part (a sort over keys+queries,
+    core/coords.py::lookup), so halving the query count nearly halves the
+    rulebook build — the #1 plan-build cost at level 0 (docs/PERF.md
+    round 3: sort-based rulebooks ~180 ms of a 471 ms forward @131k)."""
+    n = keys.shape[0]
     if kernel_size == 1:
-        n = keys.shape[0]
         rows = jnp.arange(n, dtype=jnp.int32)[:, None]
         return jnp.where((keys != INVALID_KEY)[:, None], rows, -1)
     coords = unpack_keys(keys, spatial_shape, batch_size)
     active = keys != INVALID_KEY
     half = (kernel_size - 1) // 2
     offs = kernel_offsets(kernel_size) - half
-    q = _query_keys(coords, offs, spatial_shape, batch_size, active)
-    return lookup(keys, q.reshape(-1)).reshape(q.shape)
+    if kernel_size % 2 == 0:
+        # even kernels have no +- symmetry; full lookup
+        q = _query_keys(coords, offs, spatial_shape, batch_size, active)
+        return lookup(keys, q.reshape(-1)).reshape(q.shape)
+    k3 = offs.shape[0]
+    c = (k3 - 1) // 2  # center column (offset 0,0,0)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    q = _query_keys(coords, offs[:c], spatial_shape, batch_size, active)
+    idx_half = lookup(keys, q.reshape(-1)).reshape(n, c)
+    rb = jnp.full((n, k3), -1, jnp.int32)
+    rb = rb.at[:, :c].set(idx_half)
+    rb = rb.at[:, c].set(jnp.where(active, rows, -1))
+    # mirror: idx_half[i, k] = j  =>  rb[j, k3-1-k] = i. For fixed k the
+    # map i -> j is injective (j = i + off) and each k writes a distinct
+    # column, so the scatter indices are unique; missing neighbors route to
+    # row n and are dropped.
+    jrow = jnp.where(idx_half >= 0, idx_half, n)
+    cols = jnp.broadcast_to(
+        jnp.arange(k3 - 1, c, -1, dtype=jnp.int32)[None, :], (n, c)
+    )
+    rb = rb.at[jrow, cols].set(
+        jnp.broadcast_to(rows[:, None], (n, c)),
+        mode="drop",
+        unique_indices=True,
+    )
+    return rb
 
 
 def xy_offsets() -> np.ndarray:
@@ -195,6 +229,84 @@ def downsample_coords(
     ckeys = pack_coords(cand, out_shape, batch_size, valid=cvalid)
     out_keys, _, _, count = unique_keys(ckeys, out_capacity)
     return out_keys, out_shape, count
+
+
+def downsample_with_rulebook(
+    keys: jax.Array,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    out_capacity: int,
+) -> Tuple[jax.Array, Tuple[int, int, int], jax.Array, jax.Array]:
+    """`downsample_coords` + the strided rulebook, with ZERO extra lookups.
+
+    The candidate enumeration that discovers the output voxels already
+    carries the full pairing: candidate (input i, corner m) targets output
+    cell o at kernel offset k = c - (2*o - 1), and `unique_keys`' inverse
+    map gives each candidate's row in the dedup'd output table. One scatter
+    of the 8N candidates therefore builds the [out_capacity, 27] gather
+    rulebook that `strided_rulebook` otherwise pays a 27*N_out-query sorted
+    lookup for. (o, k) pairs are unique — k fixes the input coord given o —
+    so the scatter is collision-free.
+
+    Returns (sorted out_keys, out_spatial_shape, count, drb).
+    """
+    out_shape = tuple((int(s) + 2 - 3) // 2 + 1 for s in spatial_shape)
+    coords = unpack_keys(keys, spatial_shape, batch_size)
+    active = keys != INVALID_KEY
+    c = coords[:, 1:]  # [N,3]
+    lo = (c - 1) // 2
+    hi = (c + 1) // 2
+    n = keys.shape[0]
+    cand_list = []
+    valid_list = []
+    koff_list = []
+    for mx in (0, 1):
+        for my in (0, 1):
+            for mz in (0, 1):
+                o = jnp.stack(
+                    [
+                        (hi if mx else lo)[:, 0],
+                        (hi if my else lo)[:, 1],
+                        (hi if mz else lo)[:, 2],
+                    ],
+                    axis=1,
+                )
+                ok = jnp.all((2 * o - 1 <= c) & (c <= 2 * o + 1), axis=1) & active
+                koff = c - (2 * o - 1)  # [N,3] in [0,3) where ok
+                cand_list.append(jnp.concatenate([coords[:, :1], o], axis=1))
+                valid_list.append(ok)
+                koff_list.append(koff[:, 0] * 9 + koff[:, 1] * 3 + koff[:, 2])
+    cand = jnp.concatenate(cand_list, axis=0)  # [8N,4]
+    cvalid = jnp.concatenate(valid_list, axis=0)
+    kflat = jnp.concatenate(koff_list, axis=0)  # [8N] kernel-offset column
+    ckeys = pack_coords(cand, out_shape, batch_size, valid=cvalid)
+    out_keys, _, inverse, count = unique_keys(ckeys, out_capacity)
+    # scatter the pairing: drb[out_row, k] = input row i (candidate i mod n)
+    irows = jnp.tile(jnp.arange(n, dtype=jnp.int32), 8)
+    orow = jnp.where(
+        cvalid & (inverse >= 0) & (inverse < out_capacity), inverse, out_capacity
+    )
+    drb = jnp.full((out_capacity, 27), -1, jnp.int32)
+    drb = drb.at[orow, jnp.clip(kflat, 0, 26)].set(
+        irows, mode="drop", unique_indices=True
+    )
+    return out_keys, out_shape, count, drb
+
+
+def inverse_from_strided(drb: jax.Array, fine_capacity: int) -> jax.Array:
+    """Inverse-conv rulebook as the TRANSPOSE of the strided rulebook.
+
+    The Decode pairing is exactly the Encode pairing read backwards at the
+    same kernel offset: drb[o, k] = f  <=>  urb[f, k] = o (both encode
+    2*o - 1 + off_k = f). One scatter of the [M, 27] strided entries
+    replaces `inverse_rulebook`'s 27*N_fine-query sorted lookup — the
+    single largest lookup in the plan build (fine N is the big one)."""
+    m, k3 = drb.shape
+    frow = jnp.where(drb >= 0, drb, fine_capacity)
+    orows = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, k3))
+    cols = jnp.broadcast_to(jnp.arange(k3, dtype=jnp.int32)[None, :], (m, k3))
+    urb = jnp.full((fine_capacity, k3), -1, jnp.int32)
+    return urb.at[frow, cols].set(orows, mode="drop", unique_indices=True)
 
 
 def strided_rulebook(

@@ -223,3 +223,44 @@ def test_subm_rulebook9_conv_matches_full():
         ref = np.asarray(gather_conv(st.feats, rb27, jnp.asarray(w)))
         got = np.asarray(gather_conv(st.feats, rb9, jnp.asarray(w)))
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_scatter_rulebooks_match_lookup_oracles():
+    # the scatter-based builders used by build_plan (symmetric-half subm,
+    # candidate-sweep strided, transpose inverse) must be entry-for-entry
+    # identical to the straightforward sorted-lookup formulations
+    from smart_tree_tpu.core.rulebook import (
+        _query_keys,
+        downsample_with_rulebook,
+        inverse_from_strided,
+        kernel_offsets,
+    )
+    from smart_tree_tpu.core.coords import lookup
+
+    for seed, n in ((0, 40), (5, 150), (9, 400)):
+        rng = np.random.default_rng(seed)
+        shape, batch = (14, 11, 13), 2
+        st, _, _ = make_sparse(rng, n, shape, batch, cin=2)
+
+        # subm: symmetric-half construction vs full 27-column lookup
+        rb = np.asarray(subm_rulebook(st.keys, shape, batch, 3))
+        coords = unpack_keys(st.keys, shape, batch)
+        active = st.keys != INVALID_KEY
+        offs = kernel_offsets(3) - 1
+        q = _query_keys(coords, offs, shape, batch, active)
+        rb_ref = np.asarray(lookup(st.keys, q.reshape(-1)).reshape(q.shape))
+        np.testing.assert_array_equal(rb, rb_ref)
+
+        # strided: candidate-sweep scatter vs lookup oracle
+        cap = 256
+        ok_, os_, cnt_ = downsample_coords(st.keys, shape, batch, cap)
+        ok2, os2, cnt2, drb = downsample_with_rulebook(st.keys, shape, batch, cap)
+        assert int(cnt_) == int(cnt2) and os_ == os2
+        np.testing.assert_array_equal(np.asarray(ok_), np.asarray(ok2))
+        drb_ref = strided_rulebook(st.keys, ok_, shape, os_, batch)
+        np.testing.assert_array_equal(np.asarray(drb), np.asarray(drb_ref))
+
+        # inverse: transpose of strided vs lookup oracle
+        urb = inverse_from_strided(jnp.asarray(drb), st.keys.shape[0])
+        urb_ref = inverse_rulebook(st.keys, ok_, shape, os_, batch)
+        np.testing.assert_array_equal(np.asarray(urb), np.asarray(urb_ref))
