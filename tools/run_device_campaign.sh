@@ -20,4 +20,10 @@ stamp bench_scan
 timeout 1800 python tools/bench_scan.py --skeletonize >> "$OUT" 2>&1
 stamp bench_sssp
 timeout 1800 python tools/bench_sssp.py >> "$OUT" 2>&1
+stamp eval_tpu_seed100
+# CPU fp32 eval of synthetic-r2 seed 100 reads IoU 0.978 / cos 0.758; the
+# 2026-08-17 TPU-lane run read 0.965 / 0.442 with identical code+weights.
+# Reproduce on-chip to bisect the TPU numerics gap (BASELINE.md round-3).
+timeout 1800 python tools/evaluate.py smart_tree_tpu/weights/synthetic-r2.npz \
+    --seeds 100 >> "$OUT" 2>&1
 stamp done
