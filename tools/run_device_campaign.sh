@@ -14,6 +14,8 @@ stamp() { echo "=== $1 @ $(date +%H:%M:%S) ===" >> "$OUT"; }
 
 stamp bench_forward_stages
 timeout 1800 python tools/bench_forward_stages.py >> "$OUT" 2>&1
+stamp bench_rulebook
+timeout 1800 python tools/bench_rulebook.py >> "$OUT" 2>&1
 stamp bench_py
 timeout 1800 python bench.py >> "$OUT" 2>&1
 stamp bench_scan
