@@ -31,7 +31,24 @@ def evaluate_tree(mi: ModelInference, seed: int, height=8.0, trunk_radius=0.15,
         seed=seed, height=height, trunk_radius=trunk_radius,
         points_per_m2=points, foliage_points=foliage,
     )
+    raw_xyz0 = np.asarray(cloud.xyz[0])
     cloud = CentreCloud()(cloud)
+    # the pipeline (and so the predicted skeleton) lives in the CENTRED
+    # frame; move ground truth into it too or every skeleton<->skeleton
+    # distance is dominated by the centring translation (coverage read 0.0
+    # and precision_dist ~bbox/2 before this fix)
+    offset = np.asarray(cloud.xyz[0]) - raw_xyz0
+    from smart_tree_tpu.data.branch import BranchSkeleton
+    from smart_tree_tpu.data.tree import TreeSkeleton
+
+    gt_skel = TreeSkeleton(
+        gt_skel._id,
+        {
+            k: BranchSkeleton(b._id, b.parent_id, b.xyz + offset, b.radii,
+                              b.child_id)
+            for k, b in gt_skel.branches.items()
+        },
+    )
     t0 = time.perf_counter()
     lc = mi.forward(cloud)
     t_inf = time.perf_counter() - t0
