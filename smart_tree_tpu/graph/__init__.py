@@ -1,2 +1,3 @@
 from .components import component_sizes, connected_components
+from .shortcuts import chain_shortcuts
 from .sssp import sssp, sssp_multi, tree_distances

@@ -53,13 +53,19 @@ def _bf_init(edges, weights, edge_valid, sources, num_vertices):
 
 
 @partial(jax.jit, static_argnames=("max_rounds",), donate_argnums=(3,))
-def _bf_chunk(u, v, w, dist, max_rounds: int):
+def _bf_chunk(u, v, w, dist, max_rounds: int, tol=0.0):
     """Up to max_rounds Bellman-Ford relaxation rounds in ONE device
     program. Bounding the per-dispatch round count keeps each device call
     under this environment's relay RPC deadline (a ~70 s single program
     faulted the chip — docs/PERF.md); the host re-dispatches on a scalar
     `changed` fetch with dist left device-resident, so the chunking costs
-    one scalar roundtrip per chunk, not a dist transfer."""
+    one scalar roundtrip per chunk, not a dist transfer.
+
+    `tol`: improvements are always APPLIED exactly (.min), but only count
+    as progress when they exceed tol. With shortcut edges, composite path
+    sums differ from sequential sums by float addition order, and the
+    exact change detector would chase that ulp-level refinement wave one
+    hop per round — the full diameter the shortcuts exist to avoid."""
 
     def cond(state):
         dist, changed, rounds = state
@@ -72,7 +78,10 @@ def _bf_chunk(u, v, w, dist, max_rounds: int):
         new = dist
         new = new.at[v].min(cand_v)
         new = new.at[u].min(cand_u)
-        return new, jnp.any(new < dist), rounds + 1
+        # tol is RELATIVE (+ equal absolute floor): the refinements to
+        # suppress are 1-ulp corrections, which scale with |dist|
+        thresh = jnp.where(jnp.isfinite(dist), dist - tol * dist - tol, INF)
+        return new, jnp.any(new < thresh), rounds + 1
 
     dist, changed, rounds = jax.lax.while_loop(
         cond, body, (dist, jnp.bool_(True), jnp.int32(0))
@@ -88,6 +97,7 @@ def sssp_multi(
     num_vertices: int,
     return_rounds: bool = False,
     rounds_per_dispatch: int = 256,
+    shortcuts: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Undirected weighted shortest paths from MULTIPLE sources in one
     Bellman-Ford pass.
@@ -111,15 +121,37 @@ def sssp_multi(
              pred [n] int32 — predecessor on a shortest path, -1 at the
              sources and at unreachable vertices), matching cugraph.sssp's
     vertex/predecessor/distance contract per component.
+
+    `shortcuts` — optional (edges, weights, valid) from
+    graph/shortcuts.py::chain_shortcuts: composite real-path edges used for
+    RELAXATION ONLY (they collapse the round count exponentially on
+    filament graphs); predecessor extraction stays on the original edges,
+    so the returned forest is identical up to float addition order.
     """
     n = num_vertices
-    u, v, w, dist = _bf_init(edges, weights, edge_valid, sources, n)
+    if shortcuts is not None:
+        se, sw, sv = shortcuts
+        redges = jnp.concatenate([edges, se], axis=0)
+        rweights = jnp.concatenate([weights, sw], axis=0)
+        rvalid = jnp.concatenate([edge_valid, sv], axis=0)
+    else:
+        redges, rweights, rvalid = edges, weights, edge_valid
+    u, v, w, dist = _bf_init(redges, rweights, rvalid, sources, n)
+    # with shortcuts, sub-tolerance (addition-order) refinements must not
+    # count as progress or the round count regrows toward the diameter;
+    # 1e-6 m is geometrically nil and well under _bf_pred's 1e-5 tolerance
+    tol = 1e-6 if shortcuts is not None else 0.0
     rounds = 0
     while True:
-        dist, changed, r = _bf_chunk(u, v, w, dist, rounds_per_dispatch)
+        dist, changed, r = _bf_chunk(
+            u, v, w, dist, rounds_per_dispatch, jnp.float32(tol)
+        )
         rounds += int(r)
         if not bool(changed):
             break
+    if shortcuts is not None:
+        ne = edges.shape[0]
+        u, v, w = u[:ne], v[:ne], w[:ne]
     pred = _bf_pred(u, v, w, edge_valid, sources, dist, n)
     if return_rounds:
         # rounds == hop-depth of the shortest-path forest + 1 (the final

@@ -72,6 +72,11 @@ class Skeletonizer:
     # extension (None = reference-faithful): clamp outlier-filter acceptance
     # radii so sub-voxel twigs survive — see skeleton/filter.py docstring
     min_filter_radius: float | None = None
+    # chain-shortcut SSSP acceleration (graph/shortcuts.py): composite
+    # relaxation edges collapse the Bellman-Ford round count exponentially
+    # on tall trees; results unchanged up to float addition order. Off by
+    # default pending an on-device measurement (tools/bench_sssp.py).
+    sssp_shortcuts: bool = False
 
     def forward(self, cloud: Cloud) -> DisjointTreeSkeleton:
         cloud = cloud.device()
@@ -112,8 +117,21 @@ class Skeletonizer:
         roots = _component_roots(
             labels, keep, xyz[:, 1], jnp.asarray(comp_pad, jnp.int32)
         )
+        shortcuts = None
+        if self.sssp_shortcuts:
+            from ..graph import chain_shortcuts
+
+            # nn_graph lays edges out as [n*K] rows with src = i at row
+            # i*K + j (skeleton/graph.py::nn_graph), so the [n, K] KNN
+            # adjacency is a reshape away
+            shortcuts = chain_shortcuts(
+                graph.edges[:, 1].reshape(n, self.K),
+                graph.weights.reshape(n, self.K),
+                graph.valid.reshape(n, self.K),
+            )
         dist, preds = sssp_multi(
-            graph.edges, graph.weights, graph.valid, roots, n
+            graph.edges, graph.weights, graph.valid, roots, n,
+            shortcuts=shortcuts,
         )
         # predecessor forest with euclidean medial-space step weights
         # (reference shortest_path.py:46-56 + second sssp)

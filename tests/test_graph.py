@@ -161,3 +161,66 @@ def test_sample_tree_chunked_dispatch_equivalence():
     np.testing.assert_array_equal(np.asarray(a.branch_parents),
                                   np.asarray(b.branch_parents))
     assert int(a.branch_count) == int(b.branch_count)
+
+
+def test_sssp_shortcuts_exact_and_fewer_rounds():
+    # chain-shortcut relaxation (graph/shortcuts.py) must leave dist/pred
+    # unchanged (up to float addition order) while collapsing the round
+    # count on a long chain
+    import jax.numpy as jnp
+
+    from smart_tree_tpu.graph import chain_shortcuts, sssp_multi
+
+    # long chain with k=2 adjacency: worst-case diameter
+    n, k = 600, 4
+    idxs = np.full((n, k), -1, np.int32)
+    dists = np.full((n, k), np.inf, np.float32)
+    rng = np.random.default_rng(0)
+    wchain = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    for i in range(n):
+        if i > 0:
+            idxs[i, 0], dists[i, 0] = i - 1, wchain[i - 1]
+        if i < n - 1:
+            idxs[i, 1], dists[i, 1] = i + 1, wchain[i]
+    valid = idxs >= 0
+    edges = np.stack(
+        [np.repeat(np.arange(n, dtype=np.int32), k),
+         np.maximum(idxs.reshape(-1), 0)], axis=1)
+    weights = np.where(valid.reshape(-1), dists.reshape(-1), np.inf)
+    evalid = valid.reshape(-1)
+    sources = np.asarray([0], np.int32)
+
+    d0, p0, r0 = sssp_multi(edges, weights, evalid, sources, n,
+                            return_rounds=True)
+    sc = chain_shortcuts(jnp.asarray(idxs), jnp.asarray(dists),
+                         jnp.asarray(valid))
+    d1, p1, r1 = sssp_multi(edges, weights, evalid, sources, n,
+                            return_rounds=True, shortcuts=sc)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    assert int(r0) >= n - 1  # exact BF needs diameter rounds
+    assert int(r1) < int(r0) // 8, (int(r0), int(r1))
+
+    # random graphs: shortcut dist must match the plain run everywhere
+    for seed in (1, 2):
+        rng = np.random.default_rng(seed)
+        nn = 150
+        e, w, v = random_graph(rng, nn, 400)
+        kk = 6
+        # build a [nn, kk] adjacency view of the same graph (pad with -1)
+        adj_i = np.full((nn, kk), -1, np.int32)
+        adj_d = np.full((nn, kk), np.inf, np.float32)
+        fill = np.zeros(nn, np.int32)
+        for (a, b), wt, ok in zip(np.asarray(e), np.asarray(w), np.asarray(v)):
+            if not ok:
+                continue
+            for s, t in ((a, b), (b, a)):
+                if fill[s] < kk:
+                    adj_i[s, fill[s]], adj_d[s, fill[s]] = t, wt
+                    fill[s] += 1
+        src = np.asarray([3, -1], np.int32)
+        d0, p0 = sssp_multi(e, w, v, src, nn)
+        sc = chain_shortcuts(jnp.asarray(adj_i), jnp.asarray(adj_d),
+                             jnp.asarray(adj_i >= 0), levels=4, keep=3)
+        d1, p1 = sssp_multi(e, w, v, src, nn, shortcuts=sc)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5)

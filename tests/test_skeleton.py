@@ -123,3 +123,18 @@ def test_min_filter_radius_recovers_thin_branches():
             b.length for s in out.skeletons for b in s.branches.values()
         )
     assert lengths[0.02] > lengths[None] * 1.1, lengths
+
+
+@pytest.mark.slow
+def test_skeletonizer_shortcuts_equivalent():
+    # sssp_shortcuts accelerates relaxation only; the skeleton it yields
+    # must match the plain run (same branch count, same total length to
+    # float addition order)
+    cloud, _ = generate_tree(
+        seed=3, height=4.0, trunk_radius=0.12, points_per_m2=4000.0, max_depth=2
+    )
+    base = Skeletonizer(hop_cap=8192).forward(cloud.device())
+    fast = Skeletonizer(hop_cap=8192, sssp_shortcuts=True).forward(cloud.device())
+    b, f = base.skeletons[0], fast.skeletons[0]
+    assert len(f.branches) == len(b.branches)
+    np.testing.assert_allclose(f.length, b.length, rtol=1e-4)

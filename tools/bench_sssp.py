@@ -82,6 +82,31 @@ def main():
         times.append(time.perf_counter() - t0)
     sssp_s = min(times)
 
+    # chain-shortcut acceleration (graph/shortcuts.py): round-collapse +
+    # wall time, incl. the shortcut build itself
+    from smart_tree_tpu.graph import chain_shortcuts
+
+    k = 16
+
+    def run_sc():
+        sc = chain_shortcuts(
+            graph.edges[:, 1].reshape(n, k),
+            graph.weights.reshape(n, k),
+            graph.valid.reshape(n, k),
+        )
+        d, p, r = sssp_multi(graph.edges, graph.weights, graph.valid,
+                             roots, n, return_rounds=True, shortcuts=sc)
+        jax.block_until_ready((d, p))
+        return int(r)
+
+    rounds_sc = run_sc()
+    times_sc = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        run_sc()
+        times_sc.append(time.perf_counter() - t0)
+    sssp_sc_s = min(times_sc)
+
     # full skeleton stage for share context (warm second run timed)
     sk = Skeletonizer()
     sk.forward(cloud)
@@ -95,6 +120,8 @@ def main():
         "bf_rounds": rounds,
         "sssp_s": round(sssp_s, 3),
         "sssp_us_per_round": round(1e6 * sssp_s / max(rounds, 1), 1),
+        "bf_rounds_shortcut": rounds_sc,
+        "sssp_shortcut_s": round(sssp_sc_s, 3),
         "skeleton_stage_s": round(skel_s, 3),
         "sssp_share": round(sssp_s / skel_s, 3),
         "backend": jax.devices()[0].platform,
