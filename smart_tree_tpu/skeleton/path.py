@@ -48,7 +48,11 @@ class SampleTreeResult(NamedTuple):
 def trace_route(preds, start, allocated, hop_cap: int):
     """Hop predecessors from `start` until reaching an allocated vertex or
     the root (-1 pred). Returns (path [hop_cap] int32, root-side first,
-    -1 padded; length; termination vertex or -1)."""
+    -1 padded; length; termination vertex or -1).
+
+    Sequential reference formulation (one gather per hop) — kept as the
+    oracle for trace_route_jump, which computes the identical result in
+    log2(hop_cap) parallel steps and is what sample_tree uses."""
     buf0 = jnp.full((hop_cap,), -1, jnp.int32)
 
     def cond(state):
@@ -65,6 +69,61 @@ def trace_route(preds, start, allocated, hop_cap: int):
     j = jnp.arange(hop_cap)
     src = length - 1 - j
     path = jnp.where(src >= 0, buf[jnp.maximum(src, 0)], -1)
+    return path, length, term
+
+
+@partial(jax.jit, static_argnames=("hop_cap",))
+def build_jump_tables(preds, hop_cap: int):
+    """Pointer-doubling ancestor tables: jumps[k][v] = 2^k-th predecessor
+    of v, over an extended index space where row n is an absorbing
+    sentinel (roots' pred -1 maps to it). [L, N+1] with
+    L = hop_cap.bit_length(), so any ancestor up to pred^hop_cap is a
+    bit-decomposed composition of table rows. Built once per predecessor
+    forest; function powers commute, so composition order is free."""
+    n = preds.shape[0]
+    L = max(1, int(hop_cap).bit_length())
+    base = jnp.concatenate(
+        [jnp.where(preds >= 0, preds, n).astype(jnp.int32),
+         jnp.asarray([n], jnp.int32)]
+    )
+    tables = [base]
+    for _ in range(L - 1):
+        t = tables[-1]
+        tables.append(t[t])
+    return jnp.stack(tables)
+
+
+@partial(jax.jit, static_argnames=("hop_cap",))
+def trace_route_jump(jumps, start, allocated, hop_cap: int):
+    """trace_route, but log-step: materialize the whole ancestor chain
+    v[j] = pred^j(start) for j in [0, hop_cap) with bit-decomposed jumps
+    (L parallel hop_cap-wide gathers instead of hop_cap SEQUENTIAL
+    ones — the tracer's per-branch latency floor on TPU), then find the
+    first terminator (allocated vertex or past-root sentinel) in one
+    parallel scan. Bit-identical to trace_route."""
+    n = allocated.shape[0]
+    j = jnp.arange(hop_cap, dtype=jnp.int32)
+    v = jnp.full((hop_cap,), start, jnp.int32)
+    vh = start.astype(jnp.int32) if hasattr(start, "astype") else jnp.int32(start)
+    for k in range(jumps.shape[0]):
+        v = jnp.where((j >> k) & 1 == 1, jumps[k][v], v)
+        # pred^hop_cap(start): the sequential trace's `term` when hop-capped
+        if (hop_cap >> k) & 1:
+            vh = jumps[k][vh]
+    valid = v < n
+    stop = (~valid) | (valid & allocated[jnp.minimum(v, n - 1)])
+    has_stop = jnp.any(stop)
+    first_stop = jnp.argmax(stop).astype(jnp.int32)
+    length = jnp.where(has_stop, first_stop, hop_cap)
+    v_stop = v[jnp.minimum(first_stop, hop_cap - 1)]
+    stopped_alloc = has_stop & (v_stop < n) & allocated[jnp.minimum(v_stop, n - 1)]
+    term = jnp.where(
+        has_stop,
+        jnp.where(stopped_alloc, v_stop, -1),
+        jnp.where(vh < n, vh, -1),
+    )
+    src = length - 1 - j
+    path = jnp.where(src >= 0, v[jnp.maximum(src, 0)], -1)
     return path, length, term
 
 
@@ -114,7 +173,7 @@ def _sample_init(preds, distances, component_mask, max_branches: int) -> _S:
 def _sample_chunk(
     medial_pts: jax.Array,
     medial_radii: jax.Array,
-    preds: jax.Array,
+    jumps: jax.Array,
     state: _S,
     hop_cap: int,
     max_branches: int,
@@ -122,8 +181,8 @@ def _sample_chunk(
 ):
     """Up to max_iters greedy branch extractions in ONE device program.
 
-    One branch per loop round costs a trace (hop_cap sequential gathers)
-    plus an N x hop_cap KNN tile sweep; hundreds of branches in a single
+    One branch per loop round costs a log-step jump-table trace plus an
+    N x hop_cap KNN tile sweep; hundreds of branches in a single
     unbounded program can exceed the relay RPC deadline and fault the chip
     (docs/PERF.md) — the host re-dispatches on a scalar `more` fetch with
     all state device-resident (donated, so no HBM doubling)."""
@@ -139,7 +198,7 @@ def _sample_chunk(
     def body(state):
         i, s = state
         farthest = jnp.argmax(s.dist).astype(jnp.int32)
-        path, length, term = trace_route(preds, farthest, s.allocated, hop_cap)
+        path, length, term = trace_route_jump(jumps, farthest, s.allocated, hop_cap)
         # a trace that stopped only because of the hop cap (still mid-tree,
         # termination vertex unallocated) silently truncated a path — count it
         hop_hit = (
@@ -202,9 +261,10 @@ def sample_tree_device(
     branches_per_dispatch: int = 64,
 ) -> SampleTreeResult:
     state = _sample_init(preds, distances, component_mask, max_branches)
+    jumps = build_jump_tables(jnp.asarray(preds, jnp.int32), hop_cap)
     while True:
         state, work_left, under_cap = _sample_chunk(
-            medial_pts, medial_radii, preds, state,
+            medial_pts, medial_radii, jumps, state,
             hop_cap, max_branches, branches_per_dispatch,
         )
         work_left, under_cap = bool(work_left), bool(under_cap)

@@ -138,3 +138,29 @@ def test_skeletonizer_shortcuts_equivalent():
     b, f = base.skeletons[0], fast.skeletons[0]
     assert len(f.branches) == len(b.branches)
     np.testing.assert_allclose(f.length, b.length, rtol=1e-4)
+
+
+def test_trace_route_jump_matches_sequential():
+    # the log-step jump-table trace must be bit-identical to the
+    # sequential oracle across random forests, allocation patterns, start
+    # vertices, and hop caps (incl. capped traces and allocated starts)
+    import jax.numpy as jnp
+
+    from smart_tree_tpu.skeleton.path import build_jump_tables, trace_route_jump
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = int(rng.integers(20, 300))
+        pred = np.asarray(
+            [-1] + [rng.integers(0, v) for v in range(1, n)], np.int32)
+        allocated = rng.random(n) < (0.0, 0.15, 0.6)[trial % 3]
+        hop_cap = int(rng.choice([4, 16, 64, 512]))
+        jumps = build_jump_tables(jnp.asarray(pred), hop_cap)
+        for start in rng.integers(0, n, size=8):
+            a = jnp.asarray(allocated)
+            p0, l0, t0 = trace_route(
+                jnp.asarray(pred), jnp.int32(start), a, hop_cap)
+            p1, l1, t1 = trace_route_jump(jumps, jnp.int32(start), a, hop_cap)
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+            assert int(l1) == int(l0) and int(t1) == int(t0), (
+                trial, start, hop_cap, int(l0), int(l1), int(t0), int(t1))
