@@ -100,10 +100,14 @@ def run_bench(
         step = mi.chained_step(vb)
 
         def timed(n, reps=2):
-            jax.block_until_ready(step(n))  # compile + warm
+            # FETCH the scalar (not block_until_ready): through this
+            # environment's relay, block_until_ready can ack before
+            # execution completes (observed 3 ms for a 29 s program —
+            # docs/PERF.md); transferring the value cannot.
+            float(step(n))  # compile + warm
             t0 = time.perf_counter()
             for _ in range(reps):
-                jax.block_until_ready(step(n))
+                float(step(n))
             return (time.perf_counter() - t0) / reps
 
         t1 = timed(1)

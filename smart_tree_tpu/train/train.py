@@ -249,6 +249,15 @@ def main(argv=None) -> int:
         start_epoch = ts["epoch"] + 1
         best_val = ts["best"]
         log.info("resumed from %s at epoch %d", ckpt, start_epoch)
+    elif cfg.get("warm_start"):
+        # continue training from a shipped weights-only checkpoint (params +
+        # batch_stats, e.g. smart_tree_tpu/weights/*.npz) when the full
+        # optimizer/scheduler state is no longer on disk: fresh Adam moments
+        # and epoch counter, warm network.
+        v = load_npz(Path(cfg["warm_start"]))
+        state = TrainState(v["params"], v["batch_stats"],
+                           optimizer.init(v["params"]), state.step)
+        log.info("warm-started params from %s", cfg["warm_start"])
 
     compute_dtype = jnp.bfloat16 if cfg.get("fp16", False) else jnp.float32
     train_step = make_dp_train_step(

@@ -101,10 +101,13 @@ def main():
         return acc
 
     def timed(stage, n, reps=2):
-        jax.block_until_ready(run_n(*args, stage=stage, n=jnp.int32(n)))
+        # fetch (float), don't block_until_ready: the relay can ack before
+        # execution completes — this tool read 0.0 ms for every stage when
+        # it blocked instead of fetching (docs/PERF.md methodology note 2)
+        float(run_n(*args, stage=stage, n=jnp.int32(n)))
         t0 = time.perf_counter()
         for _ in range(reps):
-            jax.block_until_ready(run_n(*args, stage=stage, n=jnp.int32(n)))
+            float(run_n(*args, stage=stage, n=jnp.int32(n)))
         return (time.perf_counter() - t0) / reps
 
     res_out = {"cap": cap, "factor": factor}

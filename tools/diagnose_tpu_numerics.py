@@ -8,9 +8,11 @@ an npz, and diffs two such dumps — pinpointing the first diverging stage.
 
 Usage (run once per backend, then diff):
     python tools/diagnose_tpu_numerics.py dump /tmp/stages_tpu.npz
-    PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
-        python tools/diagnose_tpu_numerics.py dump /tmp/stages_cpu.npz
+    python tools/diagnose_tpu_numerics.py dump /tmp/stages_cpu.npz --cpu
     python tools/diagnose_tpu_numerics.py diff /tmp/stages_tpu.npz /tmp/stages_cpu.npz
+
+(--cpu uses jax.config, not JAX_PLATFORMS: this environment's sitecustomize
+pins the axon backend over the env var.)
 """
 
 import sys
@@ -100,10 +102,15 @@ def diff(a_path: str, b_path: str) -> None:
 
 
 if __name__ == "__main__":
-    cmd = sys.argv[1]
+    argv = [a for a in sys.argv if a != "--cpu"]
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    cmd = argv[1]
     if cmd == "dump":
-        dump(sys.argv[2], seed=int(sys.argv[3]) if len(sys.argv) > 3 else 100)
+        dump(argv[2], seed=int(argv[3]) if len(argv) > 3 else 100)
     elif cmd == "diff":
-        diff(sys.argv[2], sys.argv[3])
+        diff(argv[2], argv[3])
     else:
         raise SystemExit(f"unknown command {cmd}")
