@@ -2,6 +2,7 @@
 must match the single-device forward exactly, both at the kernel level and
 through the full ModelInference product surface (VERDICT round-1 item 4)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,7 @@ from smart_tree_tpu.nn.model import SmartTree
 from smart_tree_tpu.parallel import make_mesh, make_sharded_forward
 
 
+@pytest.mark.slow  # ~100 s on this 1-core host
 def test_sharded_forward_matches_single_device():
     n_dev, cap, db, grid = 8, 128, 2, 24
     voxel = 0.01
@@ -76,6 +78,7 @@ def test_sharded_forward_matches_single_device():
         np.testing.assert_array_equal(np.asarray(active[d]), np.asarray(x.active))
 
 
+@pytest.mark.slow  # ~2.5 min on this 1-core host
 def test_model_inference_multichip_equals_single(tmp_path, monkeypatch):
     """Full ModelInference: the multichip block-sharded path (taken
     automatically when len(jax.devices()) > 1) must produce the same point

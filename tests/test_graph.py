@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.csgraph as csgraph
@@ -126,6 +127,7 @@ def test_sssp_chunked_dispatch_equivalence():
     assert int(r2) >= int(r1)
 
 
+@pytest.mark.slow  # ~70 s on this 1-core host
 def test_sample_tree_chunked_dispatch_equivalence():
     # branches_per_dispatch=1 (one greedy branch per device program) must
     # produce the same branches as one unbounded program

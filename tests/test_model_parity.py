@@ -192,6 +192,7 @@ def jax_forward(coords, feats, shape, batch):
     return {k: np.asarray(v)[rows] for k, v in preds.items()}
 
 
+@pytest.mark.slow  # ~90 s on this 1-core host
 def test_full_model_parity(sd, sparse_input):
     coords, feats, shape, batch = sparse_input
     ref = dense_oracle(sd, coords, feats, shape)

@@ -18,6 +18,7 @@ def test_collate_overflow_raises():
     assert vb.valid.sum() == 64
 
 
+@pytest.mark.slow  # ~39 s on this 1-core host
 def test_sample_tree_hop_cap_raises():
     from smart_tree_tpu.skeleton.path import sample_tree
 
@@ -62,6 +63,7 @@ def test_sample_tree_branch_cap_raises():
         sample_tree(pts, radii, preds, dist, mask, hop_cap=16, max_branches=4)
 
 
+@pytest.mark.slow  # ~3 min on this 1-core host
 def test_inference_level_overflow_retries_at_full_capacity():
     """A too-small level_capacity_factor must not corrupt output OR fail the
     forward: the offending batch reruns once at factor 1.0 (round-3 policy;

@@ -72,6 +72,7 @@ def test_skeletonizer_recovers_synthetic_tree():
         assert b.parent_id == -1 or b.parent_id in ids or b.parent_id < max(ids)
 
 
+@pytest.mark.slow  # ~2.5 min on this 1-core host
 def test_skeletonizer_separates_disjoint_trees():
     """Two spatially separated trees must come out as separate skeletons
     (connected-components path, reference graph.py:32-51)."""

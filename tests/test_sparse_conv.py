@@ -225,6 +225,7 @@ def test_subm_rulebook9_conv_matches_full():
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # ~90 s on this 1-core host
 def test_scatter_rulebooks_match_lookup_oracles():
     # the scatter-based builders used by build_plan (symmetric-half subm,
     # candidate-sweep strided, transpose inverse) must be entry-for-entry
