@@ -142,7 +142,18 @@ class TreeDataset:
         target [M,Ct], filename, grid_origin [3])."""
         cld = self.load(idx)
         if self.augmentation is not None:
-            cld = self.augmentation(cld, self.rng)
+            # validation/test crops are DETERMINISTIC per item: a fresh
+            # per-index rng makes the val loss comparable across epochs
+            # (with the reference's mutable-rng semantics, 6 val trees x a
+            # different random 4 m crop each epoch put ~2x noise on the val
+            # loss — best-checkpoint selection and early stop were keying
+            # on crop luck, observed on the round-3 warm-start run)
+            rng = (
+                self.rng
+                if self.mode == "train"
+                else np.random.default_rng(100_003 * (idx + 1))
+            )
+            cld = self.augmentation(cld, rng)
         assert len(cld) > 0, f"Empty cloud after augmentation: {self.tree_paths[idx]}"
         inputs = np.concatenate(
             [_feature(cld, n) for n in self.input_features], axis=1

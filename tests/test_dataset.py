@@ -62,6 +62,34 @@ def test_tree_dataset_items_and_batches(dataset_dir):
     assert set(np.unique(vb.coords[vb.valid][:, 0])) <= {0, 1}
 
 
+def test_val_crops_deterministic_across_epochs(dataset_dir):
+    """Validation/test items must be identical across epochs (deterministic
+    per-index crop rng) so the val loss is comparable epoch to epoch; train
+    items keep the mutable rng (different crops each pass)."""
+    def make(mode):
+        return TreeDataset(
+            voxel_size=0.01,
+            json_path=dataset_dir / "split.json",
+            directory=dataset_dir,
+            mode=mode,
+            input_features=["xyz"],
+            target_features=["radius", "direction", "class_l"],
+            augmentation=AugmentationPipeline([RandomCubicCrop(1.0)]),
+            cache=True,
+        )
+
+    val = make("validation")
+    a = val.item(0)
+    b = val.item(0)  # "next epoch": same item again
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+    tr = make("train")
+    c = tr.item(0)
+    d = tr.item(0)
+    assert c[0].shape != d[0].shape or not np.array_equal(c[0], d[0])
+
+
 def test_block_tiler_interior_masks():
     cloud, _ = generate_tree(seed=5, height=6.0, points_per_m2=600.0)
     cloud = CentreCloud()(cloud)
