@@ -59,9 +59,23 @@ def main():
     n = int(medial_pts.shape[0])
     print(f"# {n} medial points (height {args.height} m)", file=sys.stderr)
 
+    # stage notes + wall times to stderr: through a degraded relay any one
+    # compile can take minutes, so a killed run must still say where the
+    # time went and what was measured up to that point
+    def note(msg, t0=[time.perf_counter()]):
+        t = time.perf_counter()
+        print(f"# +{t - t0[0]:.1f}s {msg}", file=sys.stderr, flush=True)
+        t0[0] = t
+
     keep = outlier_removal(medial_pts, radii, nb_points=8)
+    keep.block_until_ready()
+    note("outlier_removal done")
     graph = nn_graph(medial_pts, jnp.clip(radii, min=0.02), k=16, valid=keep)
+    graph.edges.block_until_ready()
+    note("nn_graph done")
     labels = connected_components(graph.edges, graph.valid, n, vertex_valid=keep)
+    labels.block_until_ready()
+    note("connected_components done")
     comp_pad = np.full((64,), -1, np.int64)
     comp_pad[0] = int(jnp.min(jnp.where(keep, labels, n)))
     roots = _component_roots(labels, keep, xyz[:, 1],
@@ -77,12 +91,17 @@ def main():
         return int(r)
 
     rounds = run()  # compile + rounds
+    note(f"sssp compile+first run done ({rounds} rounds)")
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
     sssp_s = min(times)
+    note(f"sssp timed: {sssp_s:.3f}s over {rounds} rounds")
+    print(json.dumps({"partial": "sssp", "vertices": n, "edges": n_edges,
+                      "bf_rounds": rounds, "sssp_s": round(sssp_s, 3)}),
+          flush=True)
 
     # chain-shortcut acceleration (graph/shortcuts.py): round-collapse +
     # wall time, incl. the shortcut build itself
@@ -102,16 +121,21 @@ def main():
         return int(r)
 
     rounds_sc = run_sc()
+    note(f"shortcut sssp compile+first run done ({rounds_sc} rounds)")
     times_sc = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
         run_sc()
         times_sc.append(time.perf_counter() - t0)
     sssp_sc_s = min(times_sc)
+    note(f"shortcut sssp timed: {sssp_sc_s:.3f}s over {rounds_sc} rounds")
+    print(json.dumps({"partial": "sssp_shortcut", "bf_rounds_shortcut": rounds_sc,
+                      "sssp_shortcut_s": round(sssp_sc_s, 3)}), flush=True)
 
     # full skeleton stage for share context (warm second run timed)
     sk = Skeletonizer()
     sk.forward(cloud)
+    note("skeletonizer compile+first run done")
     t0 = time.perf_counter()
     sk.forward(cloud)
     skel_s = time.perf_counter() - t0
