@@ -166,6 +166,42 @@ def unique_keys(
     return ukeys, first_idx, inverse, count
 
 
+def pack_coords_np(
+    coords: np.ndarray,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    valid: np.ndarray | None = None,
+) -> np.ndarray:
+    """Host (numpy) twin of pack_coords — bit-identical keys.
+
+    The compact-transfer inference path (infer/inference.py) recomputes the
+    device's stable sort permutation on the host from these keys instead of
+    downloading the [capacity]-sized order array: stable argsort of equal
+    uint32 key arrays is a unique permutation, so host and device agree
+    exactly (tested in tests/test_compact_transfers.py)."""
+    bb, bx, by, bz = key_bits(spatial_shape, batch_size)
+    c = np.asarray(coords, np.int64)
+    in_range = (
+        (c[:, 0] >= 0)
+        & (c[:, 0] < batch_size)
+        & (c[:, 1] >= 0)
+        & (c[:, 1] < spatial_shape[0])
+        & (c[:, 2] >= 0)
+        & (c[:, 2] < spatial_shape[1])
+        & (c[:, 3] >= 0)
+        & (c[:, 3] < spatial_shape[2])
+    )
+    if valid is not None:
+        in_range = in_range & np.asarray(valid, bool)
+    key = (
+        (c[:, 0] << (bx + by + bz))
+        | (c[:, 1] << (by + bz))
+        | (c[:, 2] << bz)
+        | c[:, 3]
+    ).astype(np.uint32)
+    return np.where(in_range, key, INVALID_KEY)
+
+
 def ravel_hash_np(x: np.ndarray) -> np.ndarray:
     """Host-side row-major hash with the same semantics as the reference
     ravel_hash (smart_tree/model/sparse.py:64-76); used only in tests/tools."""

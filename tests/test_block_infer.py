@@ -70,10 +70,13 @@ def test_sharded_forward_matches_single_device():
         plan = build_plan(x, 2)
         ref = compress_preds(model.apply(variables, plan, x.feats[:, :3], train=False))
         for k in ref:
+            # direction is int8-quantized: fp drift across a rounding
+            # boundary flips a quantized component by 1 step
+            atol = 1.0 if k == "direction" else 1e-4
             np.testing.assert_allclose(
                 np.asarray(preds[k][d]).astype(np.float32),
                 np.asarray(ref[k]).astype(np.float32),
-                rtol=2e-3, atol=1e-4, err_msg=f"device {d} key {k}",
+                rtol=2e-3, atol=atol, err_msg=f"device {d} key {k}",
             )
         np.testing.assert_array_equal(np.asarray(active[d]), np.asarray(x.active))
 
@@ -108,11 +111,12 @@ def test_model_inference_multichip_equals_single(tmp_path, monkeypatch):
         np.asarray(lc_multi.xyz)[om], np.asarray(lc_single.xyz)[os_], atol=0
     )
     # shard_map and single-device jit fuse differently; few-ulp fp32 drift
-    # crossing an fp16 rounding boundary flips values by ~0.05%
+    # crossing an int8 direction-quantization boundary flips a component by
+    # one step (1/127 ~ 0.8%)
     np.testing.assert_allclose(
         np.asarray(lc_multi.medial_vector)[om],
         np.asarray(lc_single.medial_vector)[os_],
-        rtol=2e-3, atol=2e-4,
+        rtol=2e-2, atol=2e-4,
     )
     cls_agree = (
         np.asarray(lc_multi.class_l)[om] == np.asarray(lc_single.class_l)[os_]
