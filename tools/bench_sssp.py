@@ -67,14 +67,17 @@ def main():
         print(f"# +{t - t0[0]:.1f}s {msg}", file=sys.stderr, flush=True)
         t0[0] = t
 
+    # stage sync by fetching a scalar, same as the timed runs below: the
+    # relay can ack block_until_ready before execution completes, which
+    # would under-report stage wall times (ADVICE r3)
     keep = outlier_removal(medial_pts, radii, nb_points=8)
-    keep.block_until_ready()
+    int(jnp.sum(keep))
     note("outlier_removal done")
     graph = nn_graph(medial_pts, jnp.clip(radii, min=0.02), k=16, valid=keep)
-    graph.edges.block_until_ready()
+    int(jnp.sum(graph.valid))
     note("nn_graph done")
     labels = connected_components(graph.edges, graph.valid, n, vertex_valid=keep)
-    labels.block_until_ready()
+    int(jnp.sum(labels))
     note("connected_components done")
     comp_pad = np.full((64,), -1, np.int64)
     comp_pad[0] = int(jnp.min(jnp.where(keep, labels, n)))
