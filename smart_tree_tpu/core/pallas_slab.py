@@ -1,0 +1,200 @@
+"""Sorted-key SLAB gather-conv: the Pallas kernel that attacks the ~3 ns
+per-gather-index floor (docs/PERF.md roofline; VERDICT r3 next-step #3).
+
+Why a slab: every rulebook column k (core/rulebook.py) maps sorted output
+row i -> sorted input row rb[i, k], and adding a fixed packed-key offset
+preserves key order — so each column is MONOTONE over i. A tile of T
+consecutive outputs therefore reads, per kernel offset, one CONTIGUOUS
+range ("slab") of the feature table whose length is ~T + local density
+drift. Contiguous ranges stream from HBM at bandwidth via async DMA —
+no per-index gather latency at all. Keys order z fastest, so the three
+dz in {-1,0,+1} columns of one (dx,dy) group land in the SAME slab
+(within +-1 row): 9 slab DMAs serve all 27 columns.
+
+Inside the kernel the slab->row selection is an exact ONE-HOT MATMUL
+(iota == rel compare, then [T,S] @ [S,Cin] on the MXU): Mosaic rejects
+dynamic vector indexing of VMEM ("Cannot do int indexing" — round-1
+probes, core/pallas_ops.py), but iota/compare/dot all lower cleanly. A
+1.0/0.0 one-hot times bf16 rows accumulated in fp32 reproduces the rows
+exactly, and the conv GEMM runs at bf16 precision — the same rounding the
+XLA path applies under `jax.default_matmul_precision('bfloat16')`
+(the bench.py configuration).
+
+Replaces (at equal output): XLA gather + GEMM in core/sparse_ops.py —
+the TPU-native analog of spconv's fused gather-GEMM-scatter CUDA kernels
+behind the reference's model_blocks.py:24-101.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tile of output rows per grid step; slab length per DMA chunk. S = 2T
+# absorbs ~2x local density drift before a second chunk is needed.
+_TILE_T = 512
+_SLAB_S = 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def enabled() -> bool:
+    """Opt-in while the on-device measurement campaign decides the default
+    (flip to opt-out once BENCH records the win)."""
+    return os.environ.get("SMART_TREE_TPU_SLAB", "0") == "1"
+
+
+def _precompute(rulebook: jax.Array, tile: int, slab: int):
+    """Host-of-kernel (XLA) prep: per-(tile, xy-group) slab starts + chunk
+    counts, and the rulebook rebased to slab-relative indices.
+
+    rulebook: [M, 27] int32 (-1 missing), columns k = 9*kx + 3*ky + kz with
+    kz fastest — columns [3g, 3g+3) share one (dx,dy) group g.
+    Returns (rel [M_pad, 27] int32, starts [tiles, 9] int32,
+             nchunks [tiles, 9] int32, tiles).
+    """
+    m, k3 = rulebook.shape
+    assert k3 == 27
+    tiles = -(-m // tile)
+    m_pad = tiles * tile
+    if m_pad != m:
+        rulebook = jnp.concatenate(
+            [rulebook, jnp.full((m_pad - m, 27), -1, rulebook.dtype)], axis=0
+        )
+    rbt = rulebook.reshape(tiles, tile, 9, 3)
+    valid = rbt >= 0
+    big = jnp.int32(2**30)
+    start = jnp.min(jnp.where(valid, rbt, big), axis=(1, 3))  # [tiles, 9]
+    any_valid = jnp.any(valid, axis=(1, 3))
+    start = jnp.where(any_valid, start, 0).astype(jnp.int32)
+    maxrel = jnp.max(jnp.where(valid, rbt, -1), axis=(1, 3)) - start
+    nchunks = jnp.where(any_valid, maxrel // slab + 1, 0).astype(jnp.int32)
+    rel = jnp.where(valid, rbt - start[:, None, :, None], -1)
+    return rel.reshape(m_pad, 27).astype(jnp.int32), start, nchunks, tiles
+
+
+def _kernel(
+    starts_ref,  # SMEM [tiles, 9] (scalar prefetch)
+    nchunks_ref,  # SMEM [tiles, 9] (scalar prefetch)
+    rel_ref,  # VMEM [T, 27] int32, this tile's slab-relative rulebook
+    w_ref,  # VMEM [27*Cin, Cout]
+    feats_hbm,  # ANY/HBM [N_pad, Cin] — DMA'd manually per slab
+    out_ref,  # VMEM [T, Cout]
+    g_scr,  # VMEM [T, 27*Cin] bf16 scratch (gathered rows)
+    slab_scr,  # VMEM [2, S, Cin] feats-dtype scratch (double buffer)
+    sem,  # DMA semaphores (2,)
+    *,
+    cin: int,
+    slab: int,
+):
+    t = pl.program_id(0)
+    tile = rel_ref.shape[0]
+    g_scr[:] = jnp.zeros_like(g_scr)
+
+    def slab_dma(g, c, slot):
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(starts_ref[t, g] + c * slab, slab), :],
+            slab_scr.at[slot],
+            sem.at[slot],
+        )
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, slab), 1)
+
+    for g in range(9):  # static unroll: 9 (dx,dy) groups x 3 dz columns
+        nch = nchunks_ref[t, g]
+
+        @pl.when(nch > 0)
+        def _():
+            slab_dma(g, 0, 0).start()
+
+            def chunk_body(c, _):
+                slot = c % 2
+
+                @pl.when(c + 1 < nch)
+                def _():
+                    slab_dma(g, c + 1, (c + 1) % 2).start()
+
+                slab_dma(g, c, slot).wait()
+                rows = slab_scr[slot].astype(jnp.bfloat16)  # [S, Cin]
+                for dz in range(3):
+                    k = 3 * g + dz
+                    relk = rel_ref[:, k] - c * slab  # [T]
+                    onehot = (col_iota == relk[:, None]).astype(jnp.bfloat16)
+                    gathered = jnp.dot(
+                        onehot, rows, preferred_element_type=jnp.float32
+                    )
+                    g_scr[:, k * cin : (k + 1) * cin] += gathered.astype(
+                        jnp.bfloat16
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, nch, chunk_body, 0)
+
+    out_ref[:] = jnp.dot(
+        g_scr[:], w_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def slab_gather_conv(
+    feats: jax.Array,
+    rulebook: jax.Array,
+    weights: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out[M, Cout] = gather(feats by rulebook) @ weights, via slab DMA +
+    one-hot MXU selection. bf16 matmul precision (see module docstring).
+
+    feats: [N, Cin] fp32/bf16; rulebook: [M, 27] int32 (-1 missing);
+    weights: [27, Cin, Cout].
+    """
+    if interpret is None:
+        interpret = _interpret()
+    n, cin = feats.shape
+    m = rulebook.shape[0]
+    k3, wcin, cout = weights.shape
+    assert k3 == 27 and wcin == cin
+    tile, slab = _TILE_T, _SLAB_S
+    rel, starts, nchunks, tiles = _precompute(rulebook, tile, slab)
+    # pad the feature table so the last chunk's fixed-size DMA stays in
+    # bounds (start + nchunks*S <= N + S by construction)
+    feats_pad = jnp.concatenate(
+        [feats, jnp.zeros((slab, cin), feats.dtype)], axis=0
+    )
+    w2 = weights.reshape(27 * cin, cout).astype(jnp.bfloat16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 27), lambda t, s0, s1: (t, 0)),
+            pl.BlockSpec(
+                (27 * cin, cout), lambda t, s0, s1: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, s0, s1: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tile, 27 * cin), jnp.bfloat16),
+            pltpu.VMEM((2, slab, cin), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, cin=cin, slab=slab),
+        out_shape=jax.ShapeDtypeStruct((tiles * tile, cout), feats.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100e6),
+        ),
+    )(starts, nchunks, rel, w2, feats_pad)
+    return out[:m]

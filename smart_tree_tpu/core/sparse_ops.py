@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import pallas_ops
+from . import pallas_ops, pallas_slab
 from .coords import INVALID_KEY
 from .rulebook import SubmRB9
 
@@ -84,6 +84,18 @@ def gather_conv(
         )
     n = feats.shape[0]
     k3, cin, cout = weights.shape
+    # Slab kernel (core/pallas_slab.py): contiguous-DMA gather + one-hot MXU
+    # selection — attacks the ~3 ns/index gather floor. bf16-exact, so only
+    # taken when the ambient matmul precision is already bfloat16 (the
+    # bench/deploy configuration); fp32-parity paths keep the XLA gather.
+    if (
+        k3 == 27
+        and pallas_slab.enabled()
+        and (precision or jax.config.jax_default_matmul_precision) == "bfloat16"
+    ):
+        return pallas_slab.slab_gather_conv(feats, rulebook, weights).astype(
+            feats.dtype
+        )
     if use_pallas is None:
         use_pallas = pallas_ops.should_use_pallas(rulebook.shape[0], k3, cin, cout)
     if use_pallas:
@@ -161,8 +173,16 @@ def _gather_conv_z(
         )
         ok = ok_dz & (q_c != INVALID_KEY)[..., None]  # [m, 9, 3dz]
         m = (kw[..., :, None] == tgt[..., None, :]) & ok[..., None, :]
-        g27 = jnp.einsum(
-            "mosc,mosd->modc", g, m.astype(feats.dtype), precision=precision
+        # route slots -> dz positions with explicit broadcast multiply-adds:
+        # einsum("mosc,mosd->modc") lowered to tiny batched matmuls on TPU
+        # and dominated the z9 path (docs/PERF.md round 3 "~4x slower than
+        # full"); at most one slot matches per (m,o,dz), so this elementwise
+        # form is bit-identical and pure VPU work that XLA fuses
+        md = m.astype(feats.dtype)  # [m, 9, 3slot, 3dz]
+        g27 = (
+            g[:, :, 0, None, :] * md[:, :, 0, :, None]
+            + g[:, :, 1, None, :] * md[:, :, 1, :, None]
+            + g[:, :, 2, None, :] * md[:, :, 2, :, None]
         )  # [m, 9, 3dz, Cin] — (dx,dy) kx-major x dz fastest == offsets order
         g2 = g27.reshape(g27.shape[0], 27 * cin)
         return jnp.dot(

@@ -26,7 +26,7 @@ from smart_tree_tpu.train.metrics import segmentation_iou, skeleton_distance
 
 
 def evaluate_tree(mi: ModelInference, seed: int, height=8.0, trunk_radius=0.15,
-                  points=3000.0, foliage=4000):
+                  points=3000.0, foliage=4000, min_filter_radius=None):
     cloud, gt_skel = generate_tree(
         seed=seed, height=height, trunk_radius=trunk_radius,
         points_per_m2=points, foliage_points=foliage,
@@ -82,7 +82,7 @@ def evaluate_tree(mi: ModelInference, seed: int, height=8.0, trunk_radius=0.15,
     }
 
     t0 = time.perf_counter()
-    sk = Skeletonizer()
+    sk = Skeletonizer(min_filter_radius=min_filter_radius)
     skel = sk.forward(lc.filter_by_class([0]))
     metrics["skeletonize_s"] = round(time.perf_counter() - t0, 2)
     if skel.skeletons:
@@ -99,12 +99,28 @@ def main():
     ap.add_argument("weights")
     ap.add_argument("--seeds", type=int, nargs="+", default=[100, 101])
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--min-filter-radius", type=float, default=None,
+        help="Skeletonizer min_filter_radius extension (skeleton/filter.py):"
+        " clamp outlier-filter acceptance radii so sub-voxel twigs survive",
+    )
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (this env's sitecustomize "
+                    "pins the TPU plugin over JAX_PLATFORMS)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
 
     mi = ModelInference(args.weights)
     results = []
     for seed in args.seeds:
-        m = evaluate_tree(mi, seed)
+        m = evaluate_tree(mi, seed, min_filter_radius=args.min_filter_radius)
         m["seed"] = seed
         print(json.dumps(m))
         results.append(m)
