@@ -59,7 +59,7 @@ def main():
     import jax.numpy as jnp
 
     from smart_tree_tpu.core.pallas_slab import slab_gather_conv
-    from smart_tree_tpu.core.rulebook import subm_rulebook
+    from smart_tree_tpu.core.rulebook import subm_rulebook, subm_rulebook9
     from smart_tree_tpu.core.sparse_ops import gather_conv
 
     cap = args.cap
@@ -68,6 +68,11 @@ def main():
     rb = jax.jit(partial(subm_rulebook, spatial_shape=spatial,
                          batch_size=batch))(keys)
     rb.block_until_ready()
+    # z9 compact rulebook (fixed slot->dz routing, VERDICT r3 #6): 9N gather
+    # indices instead of 27N — a 3x cut below the kernel level
+    rb9 = jax.jit(partial(subm_rulebook9, spatial_shape=spatial,
+                          batch_size=batch))(keys)
+    rb9.pos.block_until_ready()
     results = {
         "cap": cap,
         "backend": str(next(iter(jax.devices())).platform),
@@ -89,7 +94,7 @@ def main():
             )
         )
 
-        def chain(conv, feats0, nn):
+        def chain(conv, feats0, rbook=rb):
             @jax.jit
             def run_n(feats, rbk, wk, nn):
                 def it(i, carry):
@@ -108,10 +113,10 @@ def main():
                 return acc
 
             def timed(k):
-                float(run_n(feats0, rb, w, jnp.int32(k)))  # warm/compile
+                float(run_n(feats0, rbook, w, jnp.int32(k)))  # warm/compile
                 t0 = time.perf_counter()
                 for _ in range(args.reps):
-                    float(run_n(feats0, rb, w, jnp.int32(k)))
+                    float(run_n(feats0, rbook, w, jnp.int32(k)))
                 return (time.perf_counter() - t0) / args.reps
 
             t1 = timed(1)
@@ -120,28 +125,29 @@ def main():
             return max((tn - t1) / n_chain, 0.0) * 1e3
 
         with jax.default_matmul_precision("bfloat16"):
-            xla_ms = chain(
-                lambda f, r, wk: gather_conv(f, r, wk), feats32, None
-            )
+            xla_ms = chain(lambda f, r, wk: gather_conv(f, r, wk), feats32)
             note(f"cin={cin} xla fp32-rows: {xla_ms:.2f} ms")
             slab_ms = chain(
-                lambda f, r, wk: slab_gather_conv(f, r, wk), feats32, None
+                lambda f, r, wk: slab_gather_conv(f, r, wk), feats32
             )
             note(f"cin={cin} slab fp32-rows: {slab_ms:.2f} ms")
             fb16 = feats32.astype(jnp.bfloat16)
             slab16_ms = chain(
-                lambda f, r, wk: slab_gather_conv(f, r, wk), fb16, None
+                lambda f, r, wk: slab_gather_conv(f, r, wk), fb16
             )
             note(f"cin={cin} slab bf16-rows: {slab16_ms:.2f} ms")
-            xla16_ms = chain(
-                lambda f, r, wk: gather_conv(f, r, wk), fb16, None
-            )
+            xla16_ms = chain(lambda f, r, wk: gather_conv(f, r, wk), fb16)
             note(f"cin={cin} xla bf16-rows: {xla16_ms:.2f} ms")
+            z9_ms = chain(
+                lambda f, r, wk: gather_conv(f, r, wk), feats32, rbook=rb9
+            )
+            note(f"cin={cin} xla z9 (fixed routing): {z9_ms:.2f} ms")
         results[f"cin{cin}"] = {
             "xla_ms": round(xla_ms, 3),
             "slab_ms": round(slab_ms, 3),
             "slab_bf16_ms": round(slab16_ms, 3),
             "xla_bf16_ms": round(xla16_ms, 3),
+            "z9_ms": round(z9_ms, 3),
             "speedup": round(xla_ms / slab_ms, 2) if slab_ms > 0 else None,
         }
         print(json.dumps({f"cin{cin}": results[f"cin{cin}"]}), flush=True)

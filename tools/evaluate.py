@@ -15,6 +15,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# --cpu must take effect BEFORE the smart_tree_tpu imports below: module
+# import touches jax (graph/sssp.py builds jnp constants), which initializes
+# the backend — and this environment pins JAX_PLATFORMS=axon in the shell
+# AND via sitecustomize, so only an early jax.config update reroutes it.
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from smart_tree_tpu.data.augmentations import CentreCloud
@@ -108,14 +117,6 @@ def main():
                     help="force the CPU backend (this env's sitecustomize "
                     "pins the TPU plugin over JAX_PLATFORMS)")
     args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        from jax._src import xla_bridge as _xb
-
-        _xb._clear_backends()
 
     mi = ModelInference(args.weights)
     results = []
