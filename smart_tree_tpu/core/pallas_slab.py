@@ -193,8 +193,5 @@ def slab_gather_conv(
         out_shape=jax.ShapeDtypeStruct((tiles * tile, cout), feats.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(100e6),
-        ),
     )(starts, nchunks, rel, w2, feats_pad)
     return out[:m]

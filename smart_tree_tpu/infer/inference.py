@@ -308,7 +308,14 @@ class ModelInference:
         return lambda n: run_n(*args, jnp.int32(n))
 
     @functools.lru_cache(maxsize=64)
-    def _compiled_sharded(self, capacity: int, spatial_shape, batch: int, n_dev: int):
+    def _compiled_sharded(
+        self,
+        capacity: int,
+        spatial_shape,
+        batch: int,
+        n_dev: int,
+        stage: int | None = None,
+    ):
         from ..parallel.block_infer import make_sharded_forward
         from ..parallel.mesh import make_mesh
 
@@ -321,6 +328,8 @@ class ModelInference:
             precision=self.precision,
             level_capacity_factor=self.level_capacity_factor,
             voxel_size=self.voxel_size,
+            staged=None if stage is None else (stage, capacity),
+            res_int8=self.model.input_channels != 4,
         )
 
     def _submit_multichip(self, batches, n_dev: int):
@@ -331,12 +340,37 @@ class ModelInference:
         same (vb, out) pairs the single-device path produces."""
         import itertools
 
-        from ..parallel.block_infer import stack_device_batches
+        from ..parallel.block_infer import (
+            stack_device_batches,
+            stack_device_batches_compact,
+        )
 
         pending = []
         keyf = lambda vb: (len(vb.coords), vb.spatial_shape, vb.batch_size)
         for key, group in itertools.groupby(sorted(batches, key=keyf), key=keyf):
             cap, spatial, bsz = key
+            if self.compact_transfers:
+                res_int8 = self.model.input_channels != 4
+                for chunk, c16, res, n, origins, keep, stage in (
+                    stack_device_batches_compact(
+                        list(group), n_dev, self.upload_granularity,
+                        np.int8 if res_int8 else np.float16,
+                    )
+                ):
+                    fwd = self._compiled_sharded(cap, spatial, bsz, n_dev, stage)
+                    preds, counts, caps = fwd(
+                        jnp.asarray(c16), jnp.asarray(res),
+                        jnp.asarray(n), jnp.asarray(origins),
+                    )
+                    for d in range(n_dev):
+                        if not keep[d]:
+                            continue
+                        out = (
+                            {k: v[d] for k, v in preds.items()},
+                            counts[d], caps[d],
+                        )
+                        pending.append((chunk[d], out))
+                continue
             fwd = self._compiled_sharded(cap, spatial, bsz, n_dev)
             for chunk, coords16, res16, valid, origins, keep in stack_device_batches(
                 list(group), n_dev
@@ -519,8 +553,11 @@ class ModelInference:
         n_dev = len(jax.devices())
         sinks = ([], [], [], [])
         if n_dev > 1 and len(batches) > 1:
+            collect = (
+                self._collect_compact if self.compact_transfers else self._collect
+            )
             for vb, out in self._submit_multichip(batches, n_dev):
-                self._collect(vb, out, sinks)
+                collect(vb, out, sinks)
         else:
             # bounded pipeline: keep at most max_in_flight executions queued
             # so async dispatch still overlaps upload/compute/download but

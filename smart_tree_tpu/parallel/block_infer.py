@@ -37,17 +37,61 @@ def make_sharded_forward(
     precision: str = "float32",
     level_capacity_factor: float = 1.0,
     voxel_size: float = 0.01,
+    staged: Tuple[int, int] | None = None,
+    res_int8: bool = False,
 ):
     """Returns fn(coords16 [D,cap,4] i16, res16 [D,cap,3] f16,
     valid [D,cap], origins [D,items,3] f32) ->
     (preds dict [D,cap,...], order [D,cap] int32, active [D,cap],
-     counts [D,levels], caps [D,levels])."""
+     counts [D,levels], caps [D,levels]).
+
+    staged=(stage, cap) switches to the COMPACT-transfer signature
+    (infer/inference.py compact path, VERDICT r3 #4): inputs become
+    valid-prefix stagings fn(c16 [D,stage,4], res [D,stage,3] (int8|f16),
+    n [D] i32, origins), padding to `cap` happens ON device, outputs are
+    prefix-sliced to [D,stage] and the order/active downloads are dropped —
+    the host recomputes the stable sort order from bit-identical numpy key
+    packing (core/coords.py::pack_coords_np). Returns
+    (preds [D,stage,...], counts, caps). res_int8 marks voxel/254-quantized
+    residuals (absolute-xyz feature models)."""
     levels = len(model.unet_planes)
     feature_mode = "local" if model.input_channels == 4 else "xyz"
+
+    def per_shard_staged(coords16, res16, n, origins):
+        stage, cap = staged
+        c16, res = coords16[0], res16[0]
+        if res_int8:
+            res = (res.astype(jnp.float32) * (voxel_size / 254.0)).astype(
+                jnp.float16
+            )
+        coords_full = jnp.full((cap, 4), -1, jnp.int16).at[:stage].set(c16)
+        res_full = jnp.zeros((cap, 3), jnp.float16).at[:stage].set(res)
+        valid = jnp.arange(cap) < n[0]
+        preds, order, active, counts, caps = body(
+            coords_full, res_full, valid, origins[0]
+        )
+        preds = jax.tree.map(lambda a: a[:stage], preds)
+        return (
+            jax.tree.map(lambda a: a[None], preds),
+            counts[None],
+            caps[None],
+        )
 
     def per_shard(coords16, res16, valid, origins):
         coords16, res16 = coords16[0], res16[0]
         valid, origins = valid[0], origins[0]
+        preds, order, active, counts, caps = body(
+            coords16, res16, valid, origins
+        )
+        return (
+            jax.tree.map(lambda a: a[None], preds),
+            order[None].astype(jnp.int32),
+            active[None],
+            counts[None],
+            caps[None],
+        )
+
+    def body(coords16, res16, valid, origins):
         with jax.default_matmul_precision(precision):
             from .dp import make_features
 
@@ -69,22 +113,54 @@ def make_sharded_forward(
             caps = jnp.asarray([lv.keys.shape[0] for lv in plan.levels])
         from ..infer.inference import compress_preds
 
-        return (
-            jax.tree.map(lambda a: a[None], compress_preds(preds)),
-            order[None].astype(jnp.int32),
-            active[None],
-            counts[None],
-            caps[None],
-        )
+        return compress_preds(preds), order, active, counts, caps
 
-    sharded = jax.shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        check_vma=False,
-    )
+    if staged is not None:
+        sharded = jax.shard_map(
+            per_shard_staged,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+    else:
+        sharded = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
     return jax.jit(sharded)
+
+
+def stack_device_batches_compact(batches, n_dev: int, granularity: int,
+                                 res_dtype):
+    """Compact-transfer twin of stack_device_batches: stage only each
+    batch's valid-row prefix (VoxelBatch.compact_upload), re-padded to the
+    GROUP's max stage so the [n_dev, stage, ...] stack is rectangular.
+    Yields (chunk, c16, res, n, origins, keep, stage)."""
+    groups = []
+    for start in range(0, len(batches), n_dev):
+        chunk = list(batches[start : start + n_dev])
+        real = len(chunk)
+        while len(chunk) < n_dev:
+            chunk.append(chunk[-1])
+        comp = [b.compact_upload(granularity, res_dtype) for b in chunk]
+        stage = max(len(c[0]) for c in comp)
+
+        def pad_to(a, rows):
+            out = np.zeros((rows,) + a.shape[1:], a.dtype)
+            out[: len(a)] = a
+            return out
+
+        c16 = np.stack([pad_to(c[0], stage) for c in comp])
+        res = np.stack([pad_to(c[1], stage) for c in comp])
+        origins = np.stack([c[2] for c in comp])
+        n = np.asarray([c[3] for c in comp], np.int32)
+        keep = np.arange(n_dev) < real
+        groups.append((chunk, c16, res, n, origins, keep, stage))
+    return groups
 
 
 def stack_device_batches(batches, n_dev: int):
