@@ -70,8 +70,15 @@ class Skeletonizer:
     max_branches: int = 1024
     strict: bool = True  # raise on hop/branch-cap truncation (see path.py)
     # extension (None = reference-faithful): clamp outlier-filter acceptance
-    # radii so sub-voxel twigs survive — see skeleton/filter.py docstring
-    min_filter_radius: float | None = None
+    # radii so sub-voxel twigs survive — see skeleton/filter.py docstring.
+    # Default ON at 0.02 m (mirroring the reference's min_connection_length
+    # clamp, skeletonize.py:37) from the round-4 measurement campaign:
+    # on predicted inputs it is a wash on standard eval trees (every metric
+    # within +-0.4%, seeds 100/102/103, BASELINE.md) and recovers +8%
+    # skeleton length (+4 branches) on the twig-rich e2e workload, with no
+    # precision_dist cost; the gt-oracle ceiling lifts 36% -> 48%
+    # (tools/diagnose_e2e.py). Set None for reference-faithful filtering.
+    min_filter_radius: float | None = 0.02
     # chain-shortcut SSSP acceleration (graph/shortcuts.py): composite
     # relaxation edges collapse the Bellman-Ford round count exponentially
     # on tall trees; results unchanged up to float addition order. Off by

@@ -34,8 +34,11 @@ from smart_tree_tpu.skeleton.skeletonize import Skeletonizer
 from smart_tree_tpu.train.metrics import segmentation_iou, skeleton_distance
 
 
+_DEFAULT = object()  # sentinel: follow the Skeletonizer class default
+
+
 def evaluate_tree(mi: ModelInference, seed: int, height=8.0, trunk_radius=0.15,
-                  points=3000.0, foliage=4000, min_filter_radius=None):
+                  points=3000.0, foliage=4000, min_filter_radius=_DEFAULT):
     cloud, gt_skel = generate_tree(
         seed=seed, height=height, trunk_radius=trunk_radius,
         points_per_m2=points, foliage_points=foliage,
@@ -91,7 +94,11 @@ def evaluate_tree(mi: ModelInference, seed: int, height=8.0, trunk_radius=0.15,
     }
 
     t0 = time.perf_counter()
-    sk = Skeletonizer(min_filter_radius=min_filter_radius)
+    sk = (
+        Skeletonizer()
+        if min_filter_radius is _DEFAULT
+        else Skeletonizer(min_filter_radius=min_filter_radius)
+    )
     skel = sk.forward(lc.filter_by_class([0]))
     metrics["skeletonize_s"] = round(time.perf_counter() - t0, 2)
     if skel.skeletons:
@@ -109,9 +116,10 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[100, 101])
     ap.add_argument("--out", default=None)
     ap.add_argument(
-        "--min-filter-radius", type=float, default=None,
+        "--min-filter-radius", default=None,
         help="Skeletonizer min_filter_radius extension (skeleton/filter.py):"
-        " clamp outlier-filter acceptance radii so sub-voxel twigs survive",
+        " a float clamp, 'none' for reference-faithful filtering, or omit"
+        " to follow the Skeletonizer class default",
     )
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (this env's sitecustomize "
@@ -121,7 +129,13 @@ def main():
     mi = ModelInference(args.weights)
     results = []
     for seed in args.seeds:
-        m = evaluate_tree(mi, seed, min_filter_radius=args.min_filter_radius)
+        if args.min_filter_radius is None:
+            mfr = _DEFAULT
+        elif str(args.min_filter_radius).lower() == "none":
+            mfr = None
+        else:
+            mfr = float(args.min_filter_radius)
+        m = evaluate_tree(mi, seed, min_filter_radius=mfr)
         m["seed"] = seed
         print(json.dumps(m))
         results.append(m)
