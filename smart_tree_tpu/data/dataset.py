@@ -330,8 +330,20 @@ class BlockTiler:
             else np.zeros_like(xyz)
         )
         q = np.floor(xyz / block_size).astype(np.int64)
-        ids, counts = np.unique(q, axis=0, return_counts=True)
-        ids = ids[counts > min_points]
+        # pack the 3 block coords into one int64 so the dedup is a 1-D sort
+        # (np.unique(axis=0) lexsorts rows — ~10x slower at this scale)
+        qmin = q.min(axis=0)
+        qo = q - qmin
+        packed = (qo[:, 0] << 42) | (qo[:, 1] << 21) | qo[:, 2]
+        upacked, counts = np.unique(packed, return_counts=True)
+        upacked = upacked[counts > min_points]
+        ids = (
+            np.stack(
+                [upacked >> 42, (upacked >> 21) & 0x1FFFFF, upacked & 0x1FFFFF],
+                axis=1,
+            )
+            + qmin
+        )
         self.block_centres = ids * block_size + block_size / 2
 
         self.blocks: List[Block] = []
