@@ -11,14 +11,24 @@ no per-index gather latency at all. Keys order z fastest, so the three
 dz in {-1,0,+1} columns of one (dx,dy) group land in the SAME slab
 (within +-1 row): 9 slab DMAs serve all 27 columns.
 
+Layout: the feature table crosses HBM TRANSPOSED, [cin_t, N] — Mosaic
+requires DMA slices 128-lane-aligned in the LAST dimension (first real-TPU
+attempt failed with "Slice shape along dimension 1 must be aligned to
+tiling (128), but is 16"), so slabs are lane-dimension slices
+[:, start:start+S] with starts pre-rounded to 128 outside the kernel.
+Channel rows pad to a multiple of 16 (cin_t) so in-VMEM row slices stay
+tile-aligned for bf16.
+
 Inside the kernel the slab->row selection is an exact ONE-HOT MATMUL
-(iota == rel compare, then [T,S] @ [S,Cin] on the MXU): Mosaic rejects
+(iota == rel compare, then [cin,S] @ [S,T] on the MXU): Mosaic rejects
 dynamic vector indexing of VMEM ("Cannot do int indexing" — round-1
 probes, core/pallas_ops.py), but iota/compare/dot all lower cleanly. A
 1.0/0.0 one-hot times bf16 rows accumulated in fp32 reproduces the rows
 exactly, and the conv GEMM runs at bf16 precision — the same rounding the
 XLA path applies under `jax.default_matmul_precision('bfloat16')`
-(the bench.py configuration).
+(the bench.py configuration). Slab DMAs double-buffer across the 9
+(dx,dy) groups and across overflow chunks (batch-boundary tiles whose
+column span exceeds one slab accumulate over a chunk loop).
 
 Replaces (at equal output): XLA gather + GEMM in core/sparse_ops.py —
 the TPU-native analog of spconv's fused gather-GEMM-scatter CUDA kernels
@@ -36,9 +46,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile of output rows per grid step; slab length per DMA chunk. S = 2T
-# absorbs ~2x local density drift before a second chunk is needed.
+# absorbs ~2x local density drift (plus the <=127-row start alignment)
+# before a second chunk is needed.
 _TILE_T = 512
 _SLAB_S = 1024
+_ALIGN = 128  # lane alignment required of dynamic last-dim DMA starts
 
 
 def _interpret() -> bool:
@@ -52,8 +64,9 @@ def enabled() -> bool:
 
 
 def _precompute(rulebook: jax.Array, tile: int, slab: int):
-    """Host-of-kernel (XLA) prep: per-(tile, xy-group) slab starts + chunk
-    counts, and the rulebook rebased to slab-relative indices.
+    """Host-of-kernel (XLA) prep: per-(tile, xy-group) slab starts (rounded
+    down to lane alignment) + chunk counts, and the rulebook rebased to
+    slab-relative indices.
 
     rulebook: [M, 27] int32 (-1 missing), columns k = 9*kx + 3*ky + kz with
     kz fastest — columns [3g, 3g+3) share one (dx,dy) group g.
@@ -73,25 +86,31 @@ def _precompute(rulebook: jax.Array, tile: int, slab: int):
     big = jnp.int32(2**30)
     start = jnp.min(jnp.where(valid, rbt, big), axis=(1, 3))  # [tiles, 9]
     any_valid = jnp.any(valid, axis=(1, 3))
-    start = jnp.where(any_valid, start, 0).astype(jnp.int32)
+    start = jnp.where(any_valid, start, 0)
+    start = (start // _ALIGN) * _ALIGN  # lane-aligned DMA starts
     maxrel = jnp.max(jnp.where(valid, rbt, -1), axis=(1, 3)) - start
     nchunks = jnp.where(any_valid, maxrel // slab + 1, 0).astype(jnp.int32)
     rel = jnp.where(valid, rbt - start[:, None, :, None], -1)
-    return rel.reshape(m_pad, 27).astype(jnp.int32), start, nchunks, tiles
+    return (
+        rel.reshape(m_pad, 27).astype(jnp.int32),
+        start.astype(jnp.int32),
+        nchunks,
+        tiles,
+    )
 
 
 def _kernel(
     starts_ref,  # SMEM [tiles, 9] (scalar prefetch)
     nchunks_ref,  # SMEM [tiles, 9] (scalar prefetch)
     rel_ref,  # VMEM [T, 27] int32, this tile's slab-relative rulebook
-    w_ref,  # VMEM [27*Cin, Cout]
-    feats_hbm,  # ANY/HBM [N_pad, Cin] — DMA'd manually per slab
+    w_ref,  # VMEM [27*cin_t, Cout] bf16 (zero rows at channel padding)
+    feats_hbm,  # ANY/HBM [cin_t, N_pad] TRANSPOSED — DMA'd per slab
     out_ref,  # VMEM [T, Cout]
-    g_scr,  # VMEM [T, 27*Cin] bf16 scratch (gathered rows)
-    slab_scr,  # VMEM [2, S, Cin] feats-dtype scratch (double buffer)
+    g_scr,  # VMEM [27*cin_t, T] bf16 scratch (gathered rows, transposed)
+    slab_scr,  # VMEM [2, cin_t, S] feats-dtype scratch (double buffer)
     sem,  # DMA semaphores (2,)
     *,
-    cin: int,
+    cin_t: int,
     slab: int,
 ):
     t = pl.program_id(0)
@@ -100,45 +119,63 @@ def _kernel(
 
     def slab_dma(g, c, slot):
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(starts_ref[t, g] + c * slab, slab), :],
+            feats_hbm.at[:, pl.ds(starts_ref[t, g] + c * slab, slab)],
             slab_scr.at[slot],
             sem.at[slot],
         )
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, slab), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (slab, tile), 0)
 
-    for g in range(9):  # static unroll: 9 (dx,dy) groups x 3 dz columns
+    # double-buffered segment stream over the 9 (dx,dy) groups (and any
+    # overflow chunks within a group): the next segment's DMA is in flight
+    # while the current slab feeds the MXU
+    slab_dma(0, 0, 0).start()
+    slot = jnp.int32(0)
+    for g in range(9):  # static unroll: 9 groups x 3 dz columns
         nch = nchunks_ref[t, g]
 
-        @pl.when(nch > 0)
-        def _():
-            slab_dma(g, 0, 0).start()
+        def chunk_body(c, slot, g=g, nch_=None):
+            nch = nchunks_ref[t, g]
+            nxt = (slot + 1) % 2
 
-            def chunk_body(c, _):
-                slot = c % 2
+            @pl.when(c + 1 < nch)
+            def _():
+                slab_dma(g, c + 1, nxt).start()
 
-                @pl.when(c + 1 < nch)
+            if g + 1 < 9:
+
+                @pl.when(c + 1 >= nch)
                 def _():
-                    slab_dma(g, c + 1, (c + 1) % 2).start()
+                    slab_dma(g + 1, 0, nxt).start()
 
-                slab_dma(g, c, slot).wait()
-                rows = slab_scr[slot].astype(jnp.bfloat16)  # [S, Cin]
-                for dz in range(3):
-                    k = 3 * g + dz
-                    relk = rel_ref[:, k] - c * slab  # [T]
-                    onehot = (col_iota == relk[:, None]).astype(jnp.bfloat16)
-                    gathered = jnp.dot(
-                        onehot, rows, preferred_element_type=jnp.float32
-                    )
-                    g_scr[:, k * cin : (k + 1) * cin] += gathered.astype(
-                        jnp.bfloat16
-                    )
-                return 0
+            slab_dma(g, c, slot).wait()
+            rows = slab_scr[slot].astype(jnp.bfloat16)  # [cin_t, S]
+            for dz in range(3):
+                k = 3 * g + dz
+                relk = rel_ref[:, k] - c * slab  # [T]
+                onehot_t = (row_iota == relk[None, :]).astype(jnp.bfloat16)
+                gathered_t = jnp.dot(  # [cin_t, T]
+                    rows, onehot_t, preferred_element_type=jnp.float32
+                )
+                g_scr[k * cin_t : (k + 1) * cin_t, :] += gathered_t.astype(
+                    jnp.bfloat16
+                )
+            return nxt
 
-            jax.lax.fori_loop(0, nch, chunk_body, 0)
+        # a group whose tile has no valid entries (nch == 0) still runs one
+        # chunk iteration: its DMA was already started by the previous
+        # segment's prefetch (or the warmup), and all-(-1) rel matches no
+        # row, so the one-hot is zero — simpler than skipping, and keeps
+        # the prefetch chain unbroken
+        slot = jax.lax.fori_loop(
+            0, jnp.maximum(nchunks_ref[t, g], 1), chunk_body, slot
+        )
 
-    out_ref[:] = jnp.dot(
-        g_scr[:], w_ref[:], preferred_element_type=jnp.float32
+    out_ref[:] = jax.lax.dot_general(
+        g_scr[:],
+        w_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
 
@@ -162,14 +199,17 @@ def slab_gather_conv(
     m = rulebook.shape[0]
     k3, wcin, cout = weights.shape
     assert k3 == 27 and wcin == cin
+    cin_t = -(-cin // 16) * 16  # bf16 sublane tile = 16 rows
     tile, slab = _TILE_T, _SLAB_S
     rel, starts, nchunks, tiles = _precompute(rulebook, tile, slab)
-    # pad the feature table so the last chunk's fixed-size DMA stays in
-    # bounds (start + nchunks*S <= N + S by construction)
-    feats_pad = jnp.concatenate(
-        [feats, jnp.zeros((slab, cin), feats.dtype)], axis=0
-    )
-    w2 = weights.reshape(27 * cin, cout).astype(jnp.bfloat16)
+    # transposed, channel-padded table; pad N so the last chunk's fixed-size
+    # DMA stays in bounds (aligned start + nchunks*S <= N + S + ALIGN)
+    n_pad = n + slab + _ALIGN
+    feats_t = jnp.zeros((cin_t, n_pad), feats.dtype)
+    feats_t = feats_t.at[:cin, :n].set(feats.T)
+    w2 = jnp.zeros((27, cin_t, cout), jnp.bfloat16)
+    w2 = w2.at[:, :cin, :].set(weights.astype(jnp.bfloat16))
+    w2 = w2.reshape(27 * cin_t, cout)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -177,21 +217,23 @@ def slab_gather_conv(
         in_specs=[
             pl.BlockSpec((tile, 27), lambda t, s0, s1: (t, 0)),
             pl.BlockSpec(
-                (27 * cin, cout), lambda t, s0, s1: (0, 0), memory_space=pltpu.VMEM
+                (27 * cin_t, cout),
+                lambda t, s0, s1: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feats_t stay in HBM
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda t, s0, s1: (t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((tile, 27 * cin), jnp.bfloat16),
-            pltpu.VMEM((2, slab, cin), feats.dtype),
+            pltpu.VMEM((27 * cin_t, tile), jnp.bfloat16),
+            pltpu.VMEM((2, cin_t, slab), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, cin=cin, slab=slab),
+        functools.partial(_kernel, cin_t=cin_t, slab=slab),
         out_shape=jax.ShapeDtypeStruct((tiles * tile, cout), feats.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, nchunks, rel, w2, feats_pad)
+    )(starts, nchunks, rel, w2, feats_t)
     return out[:m]
