@@ -1,11 +1,14 @@
 """Connected components on padded edge lists — cugraph replacement.
 
 The reference calls cugraph.connected_components + subgraph extraction
-(smart_tree/data_types/graph.py:32-51). TPU formulation: Shiloach-Vishkin
-style label propagation — every vertex carries the minimum vertex id of its
-component; each round hooks labels across edges (scatter-min both ways) and
-then pointer-doubles; converges in O(log n) rounds for typical graphs, with
-a convergence-checked lax.while_loop. No host round-trips.
+(smart_tree/data_types/graph.py:32-51). TPU formulation: min-label
+propagation — every vertex carries the minimum vertex id of its component;
+each round pulls the row-min of its neighbors' labels from the gather-form
+neighbor table (graph/table.py — one [n, cap] gather, NO scatter; see
+table.py for why scatter rounds are untenable on TPU) and then
+pointer-doubles; converges in O(log n)-ish rounds for typical graphs,
+under a convergence-checked lax.while_loop. No host round-trips beyond
+the table build.
 """
 
 from __future__ import annotations
@@ -15,23 +18,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .table import NeighborTable, build_neighbor_table
+
 
 @partial(jax.jit, static_argnames=("num_vertices",))
-def connected_components(
-    edges: jax.Array,
-    edge_valid: jax.Array,
-    num_vertices: int,
-    vertex_valid: jax.Array | None = None,
-) -> jax.Array:
-    """labels [num_vertices] int32: min vertex id of each component.
-
-    edges: [E,2] int32 (undirected), edge_valid: [E] bool. Invalid vertices
-    keep their own id as label.
-    """
+def _cc_rounds(tbl_idx, tbl_w, num_vertices: int):
     n = num_vertices
-    u = jnp.where(edge_valid, edges[:, 0], 0)
-    v = jnp.where(edge_valid, edges[:, 1], 0)
-    ev = edge_valid
+    empty = ~jnp.isfinite(tbl_w)  # [n, cap] padding entries
+    big = jnp.int32(n)
 
     def cond(state):
         labels, changed = state
@@ -39,13 +33,8 @@ def connected_components(
 
     def body(state):
         labels, _ = state
-        lu = labels[u]
-        lv = labels[v]
-        mn = jnp.minimum(lu, lv)
-        big = jnp.int32(n)
-        new = labels
-        new = new.at[u].min(jnp.where(ev, mn, big))
-        new = new.at[v].min(jnp.where(ev, mn, big))
+        lnbr = jnp.where(empty, big, labels[tbl_idx])  # [n, cap]
+        new = jnp.minimum(labels, jnp.min(lnbr, axis=1))
         # pointer doubling (labels form a decreasing pointer forest)
         for _ in range(2):
             new = jnp.minimum(new, new[new])
@@ -54,6 +43,30 @@ def connected_components(
 
     labels0 = jnp.arange(n, dtype=jnp.int32)
     labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+    return labels
+
+
+def connected_components(
+    edges: jax.Array,
+    edge_valid: jax.Array,
+    num_vertices: int,
+    vertex_valid: jax.Array | None = None,
+    table: NeighborTable | None = None,
+) -> jax.Array:
+    """labels [num_vertices] int32: min vertex id of each component.
+
+    edges: [E,2] int32 (undirected), edge_valid: [E] bool. Invalid vertices
+    keep their own id as label. `table`: optional prebuilt NeighborTable
+    over the same edges (the skeletonizer shares one with sssp_multi; a
+    table with relaxation-only extras is fine — shortcut edges connect
+    vertices already in the same component).
+    """
+    n = num_vertices
+    if table is None:
+        table = build_neighbor_table(
+            edges, jnp.zeros(edges.shape[0], jnp.float32), edge_valid, n
+        )
+    labels = _cc_rounds(table.idx, table.w, n)
     if vertex_valid is not None:
         labels = jnp.where(vertex_valid, labels, jnp.arange(n, dtype=jnp.int32))
     return labels

@@ -5,10 +5,18 @@ The reference runs cugraph.sssp twice per component
 the KNN graph for the path tree, once on the predecessor tree for true
 root distances. TPU formulation:
 
-  sssp:            Bellman-Ford edge relaxation (gather + segment-min
-                   scatter) under a convergence-checked lax.while_loop;
-                   predecessors recovered bit-exactly afterwards because the
-                   converged distances satisfy dist[v] = dist[pred]+w.
+  sssp:            Bellman-Ford relaxation in GATHER form over a
+                   symmetrized neighbor table (graph/table.py) —
+                   `min(dist, row-min(dist[tbl.idx] + tbl.w))` per round,
+                   one [n, cap] gather, NO scatter — under a
+                   convergence-checked lax.while_loop; predecessors
+                   recovered afterwards because the converged distances
+                   satisfy dist[v] = dist[pred]+w. (A flat-edge-list
+                   scatter formulation is kept as method="scatter" for
+                   comparison benches: XLA:TPU lowers duplicate-index
+                   scatter-min effectively serially — at 219k vertices /
+                   3.5M edges one scatter round cost seconds and blew the
+                   relay RPC deadline, round-4 campaign log.)
   tree_distances:  for the second pass the graph IS a tree, so root
                    distances accumulate by pointer doubling in O(log n)
                    steps — no iteration-to-convergence at all.
@@ -21,6 +29,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from .table import NeighborTable, build_neighbor_table
 
 INF = jnp.float32(jnp.inf)
 
@@ -89,6 +99,38 @@ def _bf_chunk(u, v, w, dist, max_rounds: int, tol=0.0):
     return dist, changed, rounds
 
 
+@partial(jax.jit, static_argnames=("max_rounds",), donate_argnums=(2,))
+def _bf_chunk_tbl(tbl_idx, tbl_w, dist, max_rounds: int, tol=0.0):
+    """Gather-form Bellman-Ford rounds: same chunked-dispatch and `tol`
+    contract as _bf_chunk (see its docstring), but each round is one
+    [n, cap] gather + row-min over the neighbor table — no scatter."""
+
+    def cond(state):
+        dist, changed, rounds = state
+        return changed & (rounds < max_rounds)
+
+    def body(state):
+        dist, _, rounds = state
+        cand = dist[tbl_idx] + tbl_w  # [n, cap]; empty entries are +inf
+        new = jnp.minimum(dist, jnp.min(cand, axis=1))
+        thresh = jnp.where(jnp.isfinite(dist), dist - tol * dist - tol, INF)
+        return new, jnp.any(new < thresh), rounds + 1
+
+    dist, changed, rounds = jax.lax.while_loop(
+        cond, body, (dist, jnp.bool_(True), jnp.int32(0))
+    )
+    return dist, changed, rounds
+
+
+@partial(jax.jit, static_argnames=("num_vertices",))
+def _dist_init(sources, num_vertices: int):
+    n = num_vertices
+    src_safe = jnp.clip(sources, 0, n - 1)
+    return jnp.full((n,), INF).at[src_safe].min(
+        jnp.where(sources >= 0, 0.0, INF)
+    )
+
+
 def sssp_multi(
     edges: jax.Array,
     weights: jax.Array,
@@ -98,6 +140,8 @@ def sssp_multi(
     return_rounds: bool = False,
     rounds_per_dispatch: int = 256,
     shortcuts: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    table: NeighborTable | None = None,
+    method: str = "gather",
 ) -> Tuple[jax.Array, jax.Array]:
     """Undirected weighted shortest paths from MULTIPLE sources in one
     Bellman-Ford pass.
@@ -127,38 +171,86 @@ def sssp_multi(
     RELAXATION ONLY (they collapse the round count exponentially on
     filament graphs); predecessor extraction stays on the original edges,
     so the returned forest is identical up to float addition order.
+
+    `table` — optional prebuilt NeighborTable (graph/table.py) covering
+    the SAME edges (+ shortcuts as real=False extras); pass it when the
+    caller already built one (the skeletonizer shares a table between
+    connected_components and sssp_multi). `method="scatter"` selects the
+    legacy flat-edge-list scatter formulation (comparison benches only).
     """
     n = num_vertices
-    if shortcuts is not None:
-        se, sw, sv = shortcuts
-        redges = jnp.concatenate([edges, se], axis=0)
-        rweights = jnp.concatenate([weights, sw], axis=0)
-        rvalid = jnp.concatenate([edge_valid, sv], axis=0)
-    else:
-        redges, rweights, rvalid = edges, weights, edge_valid
-    u, v, w, dist = _bf_init(redges, rweights, rvalid, sources, n)
     # with shortcuts, sub-tolerance (addition-order) refinements must not
     # count as progress or the round count regrows toward the diameter;
     # 1e-6 m is geometrically nil and well under _bf_pred's 1e-5 tolerance
     tol = 1e-6 if shortcuts is not None else 0.0
     rounds = 0
-    while True:
-        dist, changed, r = _bf_chunk(
-            u, v, w, dist, rounds_per_dispatch, jnp.float32(tol)
-        )
-        rounds += int(r)
-        if not bool(changed):
-            break
-    if shortcuts is not None:
-        ne = edges.shape[0]
-        u, v, w = u[:ne], v[:ne], w[:ne]
-    pred = _bf_pred(u, v, w, edge_valid, sources, dist, n)
+    if method == "gather":
+        if table is None:
+            table = build_neighbor_table(
+                edges, weights, edge_valid, n, extra=shortcuts
+            )
+        dist = _dist_init(sources, n)
+        while True:
+            dist, changed, r = _bf_chunk_tbl(
+                table.idx, table.w, dist, rounds_per_dispatch,
+                jnp.float32(tol),
+            )
+            rounds += int(r)
+            if not bool(changed):
+                break
+        pred = _pred_tbl(table, sources, dist, n)
+    else:
+        if shortcuts is not None:
+            se, sw, sv = shortcuts
+            redges = jnp.concatenate([edges, se], axis=0)
+            rweights = jnp.concatenate([weights, sw], axis=0)
+            rvalid = jnp.concatenate([edge_valid, sv], axis=0)
+        else:
+            redges, rweights, rvalid = edges, weights, edge_valid
+        u, v, w, dist = _bf_init(redges, rweights, rvalid, sources, n)
+        while True:
+            dist, changed, r = _bf_chunk(
+                u, v, w, dist, rounds_per_dispatch, jnp.float32(tol)
+            )
+            rounds += int(r)
+            if not bool(changed):
+                break
+        if shortcuts is not None:
+            ne = edges.shape[0]
+            u, v, w = u[:ne], v[:ne], w[:ne]
+        pred = _bf_pred(u, v, w, edge_valid, sources, dist, n)
     if return_rounds:
         # rounds == hop-depth of the shortest-path forest + 1 (the final
         # no-change round). Exposed for tools/bench_sssp.py (VERDICT r2
         # weak #6).
         return dist, pred, jnp.int32(rounds)
     return dist, pred
+
+
+@partial(jax.jit, static_argnames=("num_vertices",))
+def _pred_tbl(table, sources, dist, num_vertices: int):
+    """Gather-form predecessor extraction over the neighbor table — the
+    same candidate set and tie-breaks as _bf_pred (row v of the table
+    holds exactly the vertices incident to v via original edges, both
+    directions), so the returned forest is identical. Entries with
+    real=False (shortcut edges) are excluded: true shortest paths use
+    real edges only."""
+    n = num_vertices
+    u = table.idx  # [n, cap]
+    w = table.w
+    vid = jnp.arange(n, dtype=jnp.int32)[:, None]
+    dv = dist[:, None]
+    du = dist[u]
+    tol = 1e-5 * jnp.abs(dv) + 1e-5
+    near = du + w <= dv + tol
+    acyclic = (du < dv) | ((du == dv) & (u < vid))
+    hit = table.real & near & acyclic & jnp.isfinite(dv) & (u != vid)
+    big = jnp.int32(n)
+    cand = jnp.min(jnp.where(hit, u, big), axis=1)
+    pred = jnp.where(cand < big, cand, -1)
+    src_safe = jnp.clip(sources, 0, n - 1)
+    is_src = jnp.zeros((n,), bool).at[src_safe].max(sources >= 0)
+    return jnp.where(is_src, -1, pred)
 
 
 @partial(jax.jit, static_argnames=("num_vertices",))

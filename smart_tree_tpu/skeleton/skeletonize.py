@@ -29,6 +29,7 @@ import numpy as np
 from ..data.cloud import Cloud
 from ..data.tree import DisjointTreeSkeleton, TreeSkeleton
 from ..graph import (
+    build_neighbor_table,
     component_sizes,
     connected_components,
     sssp_multi,
@@ -105,7 +106,28 @@ class Skeletonizer:
             valid=keep,
         )
 
-        labels = connected_components(graph.edges, graph.valid, n, vertex_valid=keep)
+        shortcuts = None
+        if self.sssp_shortcuts:
+            from ..graph import chain_shortcuts
+
+            # nn_graph lays edges out as [n*K] rows with src = i at row
+            # i*K + j (skeleton/graph.py::nn_graph), so the [n, K] KNN
+            # adjacency is a reshape away
+            shortcuts = chain_shortcuts(
+                graph.edges[:, 1].reshape(n, self.K),
+                graph.weights.reshape(n, self.K),
+                graph.valid.reshape(n, self.K),
+            )
+        # ONE gather-form neighbor table (graph/table.py) serves CC label
+        # propagation, SSSP relaxation, and predecessor extraction —
+        # shortcut edges ride along as real=False relaxation-only entries
+        table = build_neighbor_table(
+            graph.edges, graph.weights, graph.valid, n, extra=shortcuts,
+            cap=4 * self.K,
+        )
+        labels = connected_components(
+            graph.edges, graph.valid, n, vertex_valid=keep, table=table
+        )
         sizes = component_sizes(labels, keep)
 
         # component ids = min vertex ids; pick those above threshold,
@@ -124,21 +146,9 @@ class Skeletonizer:
         roots = _component_roots(
             labels, keep, xyz[:, 1], jnp.asarray(comp_pad, jnp.int32)
         )
-        shortcuts = None
-        if self.sssp_shortcuts:
-            from ..graph import chain_shortcuts
-
-            # nn_graph lays edges out as [n*K] rows with src = i at row
-            # i*K + j (skeleton/graph.py::nn_graph), so the [n, K] KNN
-            # adjacency is a reshape away
-            shortcuts = chain_shortcuts(
-                graph.edges[:, 1].reshape(n, self.K),
-                graph.weights.reshape(n, self.K),
-                graph.valid.reshape(n, self.K),
-            )
         dist, preds = sssp_multi(
             graph.edges, graph.weights, graph.valid, roots, n,
-            shortcuts=shortcuts,
+            shortcuts=shortcuts, table=table,
         )
         # predecessor forest with euclidean medial-space step weights
         # (reference shortest_path.py:46-56 + second sssp)

@@ -226,3 +226,61 @@ def test_sssp_shortcuts_exact_and_fewer_rounds():
                              jnp.asarray(adj_i >= 0), levels=4, keep=3)
         d1, p1 = sssp_multi(e, w, v, src, nn, shortcuts=sc)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5)
+
+
+def test_gather_vs_scatter_bit_equivalence():
+    """The gather-form (neighbor-table) SSSP must reproduce the legacy
+    scatter formulation BIT-EXACTLY: both compute the same min-plus
+    fixpoint over the same fp32 path sums, and predecessor extraction
+    scans the same candidate set with the same tie-breaks."""
+    from smart_tree_tpu.graph import sssp_multi
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 300
+        edges, weights, valid = random_graph(rng, n, 900)
+        sources = np.asarray([3, 77, -1], np.int32)
+        dg, pg = sssp_multi(edges, weights, valid, sources, n)
+        ds, ps = sssp_multi(edges, weights, valid, sources, n,
+                            method="scatter")
+        np.testing.assert_array_equal(np.asarray(dg), np.asarray(ds))
+        np.testing.assert_array_equal(np.asarray(pg), np.asarray(ps))
+
+
+def test_neighbor_table_overflow_retry():
+    """A hub vertex whose degree exceeds the initial cap must trigger the
+    counts-driven cap doubling, never silent edge drops."""
+    from smart_tree_tpu.graph import build_neighbor_table, sssp_multi
+
+    n = 140
+    hub_edges = np.stack(
+        [np.zeros(n - 1, np.int32), np.arange(1, n, dtype=np.int32)], axis=1
+    )
+    weights = np.linspace(0.1, 1.0, n - 1).astype(np.float32)
+    valid = np.ones(n - 1, bool)
+    tbl = build_neighbor_table(hub_edges, weights, valid, n, cap=8)
+    assert tbl.idx.shape[1] >= n - 1  # grew past the hub's degree
+    dist, pred = map(np.asarray, sssp_multi(
+        hub_edges, weights, valid, np.asarray([0], np.int32), n))
+    np.testing.assert_allclose(dist[1:], weights, rtol=1e-6)
+    assert (pred[1:] == 0).all() and pred[0] == -1
+
+
+def test_connected_components_shared_table():
+    """CC through a shared table (with shortcut extras marked real=False)
+    must equal CC built from the raw edge list."""
+    import jax.numpy as jnp
+    from smart_tree_tpu.graph import build_neighbor_table
+
+    rng = np.random.default_rng(5)
+    n = 200
+    edges, weights, valid = random_graph(rng, n, 300)
+    base = np.asarray(connected_components(edges, valid, n))
+    # fake relaxation-only extras INSIDE components: self-edges are a
+    # degenerate but legal case
+    extra_e = np.stack([np.arange(n, dtype=np.int32)] * 2, axis=1)
+    extra = (jnp.asarray(extra_e), jnp.full((n,), 0.5, jnp.float32),
+             jnp.ones((n,), bool))
+    tbl = build_neighbor_table(edges, weights, valid, n, extra=extra)
+    via_tbl = np.asarray(connected_components(edges, valid, n, table=tbl))
+    np.testing.assert_array_equal(via_tbl, base)

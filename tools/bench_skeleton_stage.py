@@ -39,6 +39,7 @@ def main():
     from smart_tree_tpu.data.augmentations import CentreCloud
     from smart_tree_tpu.data.synthetic import generate_tree
     from smart_tree_tpu.graph import (
+        build_neighbor_table,
         chain_shortcuts,
         connected_components,
         component_sizes,
@@ -91,9 +92,18 @@ def main():
         lambda: nn_graph(medial_pts, jnp.clip(radii, min=0.02), k=K, valid=keep),
         lambda g: int(jnp.sum(g.valid)),
     )
+    table = timed(
+        "neighbor_table",
+        lambda: build_neighbor_table(
+            graph.edges, graph.weights, graph.valid, n, cap=4 * K
+        ),
+        lambda tb: int(jnp.sum(tb.idx[:, 0])),
+    )
     labels = timed(
         "connected_components",
-        lambda: connected_components(graph.edges, graph.valid, n, vertex_valid=keep),
+        lambda: connected_components(
+            graph.edges, graph.valid, n, vertex_valid=keep, table=table
+        ),
         lambda l: int(jnp.sum(l)),
     )
     sizes_np = np.asarray(component_sizes(labels, keep))
@@ -105,8 +115,11 @@ def main():
     int(jnp.sum(roots))
 
     def run_sssp(shortcuts):
+        # a fresh table per variant (shortcut extras change its contents);
+        # the build cost is timed separately above
+        tbl = table if shortcuts is None else None
         d, p = sssp_multi(graph.edges, graph.weights, graph.valid, roots, n,
-                          shortcuts=shortcuts)
+                          shortcuts=shortcuts, table=tbl)
         return d, p
 
     def sync_sssp(r):
