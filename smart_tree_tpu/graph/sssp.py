@@ -141,7 +141,7 @@ def sssp_multi(
     rounds_per_dispatch: int = 256,
     shortcuts: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
     table: NeighborTable | None = None,
-    method: str = "gather",
+    method: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Undirected weighted shortest paths from MULTIPLE sources in one
     Bellman-Ford pass.
@@ -175,10 +175,15 @@ def sssp_multi(
     `table` — optional prebuilt NeighborTable (graph/table.py) covering
     the SAME edges (+ shortcuts as real=False extras); pass it when the
     caller already built one (the skeletonizer shares a table between
-    connected_components and sssp_multi). `method="scatter"` selects the
-    legacy flat-edge-list scatter formulation (comparison benches only).
+    connected_components and sssp_multi). `method`: None auto-picks by
+    backend — "gather" on accelerators (XLA:TPU lowers duplicate-index
+    scatter-min effectively serially; docs/PERF.md round-4), "scatter" on
+    CPU (measured 5x faster per round there: scatter is cheap on CPU and
+    the gather table pays for hub-widened caps).
     """
     n = num_vertices
+    if method is None:
+        method = "scatter" if jax.default_backend() == "cpu" else "gather"
     # with shortcuts, sub-tolerance (addition-order) refinements must not
     # count as progress or the round count regrows toward the diameter;
     # 1e-6 m is geometrically nil and well under _bf_pred's 1e-5 tolerance

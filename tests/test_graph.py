@@ -240,7 +240,8 @@ def test_gather_vs_scatter_bit_equivalence():
         n = 300
         edges, weights, valid = random_graph(rng, n, 900)
         sources = np.asarray([3, 77, -1], np.int32)
-        dg, pg = sssp_multi(edges, weights, valid, sources, n)
+        dg, pg = sssp_multi(edges, weights, valid, sources, n,
+                            method="gather")
         ds, ps = sssp_multi(edges, weights, valid, sources, n,
                             method="scatter")
         np.testing.assert_array_equal(np.asarray(dg), np.asarray(ds))
@@ -261,7 +262,8 @@ def test_neighbor_table_overflow_retry():
     tbl = build_neighbor_table(hub_edges, weights, valid, n, cap=8)
     assert tbl.idx.shape[1] >= n - 1  # grew past the hub's degree
     dist, pred = map(np.asarray, sssp_multi(
-        hub_edges, weights, valid, np.asarray([0], np.int32), n))
+        hub_edges, weights, valid, np.asarray([0], np.int32), n,
+        method="gather"))
     np.testing.assert_allclose(dist[1:], weights, rtol=1e-6)
     assert (pred[1:] == 0).all() and pred[0] == -1
 

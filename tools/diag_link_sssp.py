@@ -69,7 +69,8 @@ def main():
             note(f"download {mb} MB: {dt:.3f}s -> {mb / dt:.1f} MB/s")
 
     # --- SSSP per-round cost at skeleton scale ---
-    from smart_tree_tpu.graph.sssp import _bf_chunk, _bf_init
+    from smart_tree_tpu.graph.sssp import _bf_chunk, _bf_chunk_tbl, _bf_init
+    from smart_tree_tpu.graph.table import build_neighbor_table
 
     n, k = args.n, args.k
     rng = np.random.default_rng(0)
@@ -91,7 +92,31 @@ def main():
     float(jnp.sum(jnp.where(jnp.isfinite(dist), dist, 0)))
     note(f"sssp probe: n={n} E={n * k}")
 
-    for rounds in (4, 16, 64):
+    # gather-form rounds (the shipped path, graph/table.py)
+    t0 = time.perf_counter()
+    tbl = build_neighbor_table(edges, weights, valid, n)
+    int(jnp.sum(tbl.idx[:, 0]))
+    note(f"neighbor table build (cap={tbl.idx.shape[1]}): "
+         f"{time.perf_counter() - t0:.2f}s (incl. compile)")
+    for rounds in (16, 64, 256):
+        t0 = time.perf_counter()
+        d2, changed, r = _bf_chunk_tbl(tbl.idx, tbl.w, dist + 0, rounds,
+                                       jnp.float32(0))
+        float(jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0)))
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        d2, changed, r = _bf_chunk_tbl(tbl.idx, tbl.w, dist + 0, rounds,
+                                       jnp.float32(0))
+        float(jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0)))
+        warm = time.perf_counter() - t0
+        note(
+            f"bf_chunk_tbl rounds={rounds}: cold={cold:.2f}s warm={warm:.2f}s"
+            f" -> {warm / rounds * 1e3:.2f} ms/round"
+        )
+
+    # legacy scatter rounds, SMALL bounded counts only (a 256-round scatter
+    # chunk at this scale previously blew the relay RPC deadline)
+    for rounds in (4, 16):
         t0 = time.perf_counter()
         d2, changed, r = _bf_chunk(u, v, w, dist + 0, rounds, jnp.float32(0))
         float(jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0)))
@@ -101,8 +126,8 @@ def main():
         float(jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0)))
         warm = time.perf_counter() - t0
         note(
-            f"bf_chunk rounds={rounds}: cold={cold:.2f}s warm={warm:.2f}s"
-            f" -> {warm / rounds * 1e3:.1f} ms/round"
+            f"bf_chunk (scatter) rounds={rounds}: cold={cold:.2f}s "
+            f"warm={warm:.2f}s -> {warm / rounds * 1e3:.1f} ms/round"
         )
 
 
