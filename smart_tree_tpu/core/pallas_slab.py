@@ -79,9 +79,13 @@ def _interpret() -> bool:
 
 
 def enabled() -> bool:
-    """Opt-in while the on-device measurement campaign decides the default
-    (flip to opt-out once BENCH records the win)."""
-    return os.environ.get("SMART_TREE_TPU_SLAB", "0") == "1"
+    """Default ON (opt out with SMART_TREE_TPU_SLAB=0) since the round-4
+    campaign measured the win on hardware: 2.03x per-conv at the bench
+    shape and 155 -> 87 ms whole-forward at 131k voxels (docs/PERF.md).
+    Activation is further gated per conv call on bf16 matmul precision and
+    rulebook height (core/sparse_ops.py::_SLAB_MIN_M) — fp32-parity paths
+    and small/CPU shapes keep the XLA gather."""
+    return os.environ.get("SMART_TREE_TPU_SLAB", "1") == "1"
 
 
 def _precompute(rulebook: jax.Array, tile: int, slab: int):

@@ -19,6 +19,8 @@ materialization) lives in core/pallas_ops.py and is used on TPU for large N.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +39,14 @@ from .rulebook import SubmRB9
 # fp32), only on oversized retry shapes.
 _ROW_CHUNK = 32768
 _CHUNK_TRANSIENT_BYTES = 1 << 30  # chunk only past ~1 GB per gather buffer
+
+# Slab-kernel row threshold: each pallas instance adds Mosaic compile cost,
+# and a full-UNet program with EVERY conv on the slab path (~20 instances)
+# OOM-killed this environment's remote compile helper (SIGKILL, round-4
+# campaign). The win also concentrates in the big-M convs (fixed per-tile
+# one-hot work amortizes over more rows), so only rulebooks at least this
+# tall take the kernel.
+_SLAB_MIN_M = int(os.environ.get("SMART_TREE_TPU_SLAB_MIN_M", "65536"))
 
 
 def _map_row_chunks(fn, m: int, width: int, *arrays):
@@ -90,6 +100,7 @@ def gather_conv(
     # bench/deploy configuration); fp32-parity paths keep the XLA gather.
     if (
         k3 == 27
+        and rulebook.shape[0] >= _SLAB_MIN_M
         and pallas_slab.enabled()
         and (precision or jax.config.jax_default_matmul_precision) == "bfloat16"
     ):
