@@ -124,31 +124,39 @@ def main():
             tn = timed(1 + n_chain)
             return max((tn - t1) / n_chain, 0.0) * 1e3
 
+        def attempt(name, fn):
+            """One variant; a Mosaic/compile rejection is a RESULT (the
+            round-4 layout hunt produced three of them), not a reason to
+            kill the rest of the campaign."""
+            try:
+                ms = fn()
+                note(f"cin={cin} {name}: {ms:.2f} ms")
+                return round(ms, 3)
+            except Exception as e:  # noqa: BLE001 — record and move on
+                note(f"cin={cin} {name}: FAILED {type(e).__name__}: "
+                     f"{str(e).splitlines()[0][:200]}")
+                return None
+
+        fb16 = feats32.astype(jnp.bfloat16)
         with jax.default_matmul_precision("bfloat16"):
-            xla_ms = chain(lambda f, r, wk: gather_conv(f, r, wk), feats32)
-            note(f"cin={cin} xla fp32-rows: {xla_ms:.2f} ms")
-            slab_ms = chain(
-                lambda f, r, wk: slab_gather_conv(f, r, wk), feats32
-            )
-            note(f"cin={cin} slab fp32-rows: {slab_ms:.2f} ms")
-            fb16 = feats32.astype(jnp.bfloat16)
-            slab16_ms = chain(
-                lambda f, r, wk: slab_gather_conv(f, r, wk), fb16
-            )
-            note(f"cin={cin} slab bf16-rows: {slab16_ms:.2f} ms")
-            xla16_ms = chain(lambda f, r, wk: gather_conv(f, r, wk), fb16)
-            note(f"cin={cin} xla bf16-rows: {xla16_ms:.2f} ms")
-            z9_ms = chain(
-                lambda f, r, wk: gather_conv(f, r, wk), feats32, rbook=rb9
-            )
-            note(f"cin={cin} xla z9 (fixed routing): {z9_ms:.2f} ms")
+            xla_ms = attempt("xla fp32-rows", lambda: chain(
+                lambda f, r, wk: gather_conv(f, r, wk), feats32))
+            slab_ms = attempt("slab fp32-rows", lambda: chain(
+                lambda f, r, wk: slab_gather_conv(f, r, wk), feats32))
+            slab16_ms = attempt("slab bf16-rows", lambda: chain(
+                lambda f, r, wk: slab_gather_conv(f, r, wk), fb16))
+            xla16_ms = attempt("xla bf16-rows", lambda: chain(
+                lambda f, r, wk: gather_conv(f, r, wk), fb16))
+            z9_ms = attempt("xla z9 (fixed routing)", lambda: chain(
+                lambda f, r, wk: gather_conv(f, r, wk), feats32, rbook=rb9))
         results[f"cin{cin}"] = {
-            "xla_ms": round(xla_ms, 3),
-            "slab_ms": round(slab_ms, 3),
-            "slab_bf16_ms": round(slab16_ms, 3),
-            "xla_bf16_ms": round(xla16_ms, 3),
-            "z9_ms": round(z9_ms, 3),
-            "speedup": round(xla_ms / slab_ms, 2) if slab_ms > 0 else None,
+            "xla_ms": xla_ms,
+            "slab_ms": slab_ms,
+            "slab_bf16_ms": slab16_ms,
+            "xla_bf16_ms": xla16_ms,
+            "z9_ms": z9_ms,
+            "speedup": round(xla_ms / slab_ms, 2)
+            if xla_ms and slab_ms else None,
         }
         print(json.dumps({f"cin{cin}": results[f"cin{cin}"]}), flush=True)
 
