@@ -38,6 +38,7 @@ from ..graph import (
 from .filter import outlier_removal
 from .graph import nn_graph
 from .path import sample_tree
+from .quantize import medial_reduce
 
 
 @jax.jit
@@ -85,6 +86,15 @@ class Skeletonizer:
     # on tall trees; results unchanged up to float addition order. Off by
     # default pending an on-device measurement (tools/bench_sssp.py).
     sssp_shortcuts: bool = False
+    # medial-point voxel reduction (skeleton/quantize.py): collapse
+    # coincident medial points to one representative per cell BEFORE graph
+    # construction. Predicted medial points pile onto the branch axis
+    # (12.5x duplication at 1 cm on the bench tree), creating the hub
+    # vertices and zero-length edges that made device SSSP unusable
+    # (docs/PERF.md round-4). Default matches the pipeline's inference
+    # voxel size (conf/pipeline.yaml:15); None = full unreduced graph
+    # (reference-faithful, smart_tree/skeleton/skeletonize.py:31-95).
+    medial_quantize: float | None = 0.01
 
     def forward(self, cloud: Cloud) -> DisjointTreeSkeleton:
         cloud = cloud.device()
@@ -98,6 +108,22 @@ class Skeletonizer:
         )
         log.info("skeletonize: %d medial pts, %d after outlier removal",
                  n, int(keep.sum()))
+
+        if self.medial_quantize:
+            rep_idx, n_unique = medial_reduce(
+                medial_pts, xyz[:, 1], keep, self.medial_quantize
+            )
+            sel = jnp.minimum(rep_idx, n - 1)
+            pad = rep_idx >= n
+            medial_pts = medial_pts[sel]
+            radii = radii[sel]
+            xyz = xyz[sel]
+            keep = ~pad
+            n = int(rep_idx.shape[0])
+            log.info(
+                "skeletonize: medial_quantize %.3f m -> %d unique cells "
+                "(bucket %d)", self.medial_quantize, n_unique, n,
+            )
 
         graph = nn_graph(
             medial_pts,

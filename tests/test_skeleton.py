@@ -165,3 +165,53 @@ def test_trace_route_jump_matches_sequential():
             np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
             assert int(l1) == int(l0) and int(t1) == int(t0), (
                 trial, start, hop_cap, int(l0), int(l1), int(t0), int(t1))
+
+
+def test_medial_reduce_matches_numpy_oracle():
+    # skeleton/quantize.py: one representative per cell, kept points only,
+    # per-cell min surface-y (root convention, reference cloud.py:204-206)
+    import jax.numpy as jnp
+
+    from smart_tree_tpu.skeleton.quantize import medial_reduce
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(400, 3)).astype(np.float32) * 2
+    pts = np.concatenate([
+        np.repeat(base, 5, axis=0),
+        rng.normal(size=(250, 3)).astype(np.float32) * 2,
+    ])
+    y = rng.normal(size=(len(pts),)).astype(np.float32)
+    keep = rng.random(len(pts)) > 0.15
+    rep, n_unique = medial_reduce(
+        jnp.asarray(pts), jnp.asarray(y), jnp.asarray(keep), 0.01
+    )
+    cells = np.floor(pts[keep] / 0.01).astype(np.int64)
+    assert n_unique == len(np.unique(cells, axis=0))
+    ri = np.asarray(rep)
+    sel = ri[ri < len(pts)]
+    assert len(sel) == n_unique and keep[sel].all()
+    qs = np.floor(pts[sel] / 0.01).astype(np.int64)
+    assert len(np.unique(qs, axis=0)) == n_unique
+    lut = {tuple(c): s for c, s in zip(qs, sel)}
+    allq = np.floor(pts / 0.01).astype(np.int64)
+    for j in np.nonzero(keep)[0]:
+        assert y[lut[tuple(allq[j])]] <= y[j] + 1e-7
+
+
+def test_skeletonizer_quantize_on_off_equivalent_quality():
+    # the medial reduction must not change recovered structure materially
+    # on a clean synthetic tree (duplicate medial points are interchangeable
+    # at pipeline resolution)
+    cloud, _ = generate_tree(
+        seed=3, height=4.0, trunk_radius=0.12, points_per_m2=4000.0,
+        max_depth=2,
+    )
+    full = Skeletonizer(hop_cap=8192, medial_quantize=None).forward(
+        cloud.device()
+    )
+    red = Skeletonizer(hop_cap=8192, medial_quantize=0.01).forward(
+        cloud.device()
+    )
+    lf = full.skeletons[0].length
+    lr = red.skeletons[0].length
+    assert abs(lr - lf) < 0.15 * lf + 0.05, (lf, lr)
