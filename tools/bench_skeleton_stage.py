@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--height", type=float, default=12.0)
     ap.add_argument("--points-per-m2", type=float, default=12000.0)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--no-quantize", action="store_true",
+                    help="bench the full unreduced graph (pre-round-4 path)")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +89,28 @@ def main():
         lambda: outlier_removal(medial_pts, radii, nb_points=8),
         lambda r: int(jnp.sum(r)),
     )
+    if not args.no_quantize:
+        # the shipped Skeletonizer path (skeleton/quantize.py): collapse
+        # coincident medial points to one representative per pipeline voxel
+        from smart_tree_tpu.skeleton.quantize import medial_reduce
+
+        rep = timed(
+            "medial_reduce",
+            lambda: medial_reduce(medial_pts, xyz[:, 1], keep, 0.01),
+            lambda r: int(r[1]),
+        )
+        rep_idx, n_unique = rep
+        sel = jnp.minimum(rep_idx, n - 1)
+        pad = rep_idx >= n
+        medial_pts = medial_pts[sel]
+        radii = radii[sel]
+        xyz = xyz[sel]
+        keep = ~pad
+        n = int(rep_idx.shape[0])
+        out["vertices_reduced"] = int(n_unique)
+        out["bucket"] = n
+        print(f"# medial_reduce: {n_unique} unique cells (bucket {n})",
+              file=sys.stderr, flush=True)
     graph = timed(
         "nn_graph",
         lambda: nn_graph(medial_pts, jnp.clip(radii, min=0.02), k=K, valid=keep),
