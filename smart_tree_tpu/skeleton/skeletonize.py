@@ -82,9 +82,14 @@ class Skeletonizer:
     # (tools/diagnose_e2e.py). Set None for reference-faithful filtering.
     min_filter_radius: float | None = 0.02
     # chain-shortcut SSSP acceleration (graph/shortcuts.py): composite
-    # relaxation edges collapse the Bellman-Ford round count exponentially
-    # on tall trees; results unchanged up to float addition order. Off by
-    # default pending an on-device measurement (tools/bench_sssp.py).
+    # relaxation edges collapse the Bellman-Ford round count on filament
+    # graphs; results unchanged up to float addition order. OFF from the
+    # round-4 on-device measurement (tools/bench_skeleton_stage.py, v5e,
+    # 219k-point tree after medial reduction): the shortcut extras blow the
+    # gather table cap 48 -> 128+ and every round pays the wider gather —
+    # sssp 4.4 s plain vs 34.2 s with shortcuts (0.13x), whole forward
+    # 27.4 s vs 82.8 s. The mechanism only pays in the scatter (CPU)
+    # formulation it was designed against (1.8x there, docs/PERF.md).
     sssp_shortcuts: bool = False
     # medial-point voxel reduction (skeleton/quantize.py): collapse
     # coincident medial points to one representative per cell BEFORE graph
