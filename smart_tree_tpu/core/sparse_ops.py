@@ -48,6 +48,25 @@ _CHUNK_TRANSIENT_BYTES = 1 << 30  # chunk only past ~1 GB per gather buffer
 # tall take the kernel.
 _SLAB_MIN_M = int(os.environ.get("SMART_TREE_TPU_SLAB_MIN_M", "65536"))
 
+# Batch-capacity-scaled floor: at 524k-cap forest batches a FIXED 65536
+# threshold admits every level's convs (~20 slab instances in one program)
+# and the compile helper is SIGKILLed again (bench_scan, round 4). The
+# inference driver declares the batch capacity before tracing; the
+# effective threshold max(_SLAB_MIN_M, cap // 4) keeps the instance count
+# roughly constant across capacities — at <= 262k caps it is identical to
+# the measured-good fixed threshold (262144 // 4 == 65536).
+_SLAB_CAP_HINT = 0
+
+
+def set_slab_cap_hint(cap: int) -> None:
+    """Declare the current batch's voxel capacity (trace-time hint)."""
+    global _SLAB_CAP_HINT
+    _SLAB_CAP_HINT = int(cap)
+
+
+def _slab_min_rows() -> int:
+    return max(_SLAB_MIN_M, _SLAB_CAP_HINT // 4)
+
 
 def _map_row_chunks(fn, m: int, width: int, *arrays):
     """Apply fn over row-chunks of the leading axis only when the gather
@@ -100,7 +119,7 @@ def gather_conv(
     # bench/deploy configuration); fp32-parity paths keep the XLA gather.
     if (
         k3 == 27
-        and rulebook.shape[0] >= _SLAB_MIN_M
+        and rulebook.shape[0] >= _slab_min_rows()
         and pallas_slab.enabled()
         and (precision or jax.config.jax_default_matmul_precision) == "bfloat16"
     ):

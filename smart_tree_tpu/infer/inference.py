@@ -232,6 +232,14 @@ class ModelInference:
             permutation instead of permuted features so the host applies it
             to its own arrays (rgb, interior mask) locally — host<->device
             traffic is the bottleneck on thin interconnects."""
+            # trace-time hint: scale the slab-kernel row threshold with this
+            # batch's capacity so the per-program Pallas instance count stays
+            # bounded (a 524k-cap forest batch with the fixed threshold put
+            # ~20 slab instances in one program and SIGKILLed the remote
+            # compile helper — core/sparse_ops.py::set_slab_cap_hint)
+            from ..core.sparse_ops import set_slab_cap_hint
+
+            set_slab_cap_hint(capacity)
             with jax.default_matmul_precision(self.precision):
                 from ..core.coords import pack_coords
                 from ..parallel.dp import make_features

@@ -56,6 +56,11 @@ def make_sharded_forward(
     residuals (absolute-xyz feature models)."""
     levels = len(model.unet_planes)
     feature_mode = "local" if model.input_channels == 4 else "xyz"
+    # trace-time slab-threshold hint (see infer/inference.py body): per-shard
+    # capacity bounds the Pallas instance count in the sharded program too
+    from ..core.sparse_ops import set_slab_cap_hint
+
+    set_slab_cap_hint(staged[1] if staged is not None else 0)
 
     def per_shard_staged(coords16, res16, n, origins):
         stage, cap = staged
