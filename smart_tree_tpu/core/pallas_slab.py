@@ -257,7 +257,7 @@ def slab_gather_conv(
                 lambda t, s0, s1: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feats_b stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # feats_b stay in HBM
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda t, s0, s1: (t, 0)),
         scratch_shapes=[

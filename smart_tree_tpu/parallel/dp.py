@@ -90,6 +90,7 @@ def make_dp_train_step(
     direction_loss: str = "cosine",
     feature_mode: str = "xyz",
     direction_weight: float = 1.0,
+    direction_min_radius: float | None = None,
 ):
     """Build the jitted DP train step.
 
@@ -140,7 +141,8 @@ def make_dp_train_step(
             losses = compute_loss(preds, t_sorted, m_sorted,
                                   vector_class=vector_class,
                                   direction_loss=direction_loss,
-                                  direction_weight=direction_weight)
+                                  direction_weight=direction_weight,
+                                  direction_min_radius=direction_min_radius)
             total = sum(losses.values())
             return total, (losses, updates["batch_stats"])
 
@@ -184,6 +186,7 @@ def make_dp_eval_step(
     voxel_size: float = 0.01,
     direction_loss: str = "cosine",
     feature_mode: str = "xyz",
+    direction_min_radius: float | None = None,
 ):
     levels = len(model.unet_planes)
 
@@ -214,6 +217,7 @@ def make_dp_eval_step(
             (xt.feats[:, -1] > 0.5) & xt.active,
             vector_class=vector_class,
             direction_loss=direction_loss,
+            direction_min_radius=direction_min_radius,
         )
         return jax.lax.pmean(losses, axis)
 

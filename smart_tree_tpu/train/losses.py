@@ -31,8 +31,9 @@ def cosine_similarity_loss(
     # torch CosineSimilarity default eps=1e-8 on the norm product. Masked
     # rows are substituted with a unit vector BEFORE any norm so zero rows
     # never produce NaN values or NaN gradients (0*NaN is still NaN).
+    # mask may be bool or float per-point weights (see direction_min_radius).
     e1 = jnp.zeros_like(pred).at[:, 0].set(1.0)
-    m = mask[:, None]
+    m = (mask > 0)[:, None]
     p = jnp.where(m, pred, e1)
     t = jnp.where(m, target, e1)
     num = jnp.sum(p * t, axis=1)
@@ -74,13 +75,24 @@ def compute_loss(
     target_radius_log: bool = True,
     direction_loss: str = "cosine",
     direction_weight: float = 1.0,
+    direction_min_radius: float | None = None,
+    direction_subvoxel_weight: float = 0.0,
 ) -> Dict[str, jax.Array]:
     """targets: [N, 5] = [radius, direction(3), class]; mask: [N] bool
     (loss mask AND active-voxel mask). Matches reference loss.py:7-50.
 
     direction_loss: "cosine" (reference semantics, on the normalized head
     output) or "l2raw" (bounded-gradient variant on the raw output —
-    requires preds["direction_raw"])."""
+    requires preds["direction_raw"]).
+
+    direction_min_radius: when set, direction supervision on points whose
+    ground-truth radius is below it is down-weighted to
+    direction_subvoxel_weight (default: dropped). Sub-voxel twigs have a
+    sign-ambiguous medial direction by construction (opposite surface points
+    share one voxel after dedup — BASELINE.md round-4 bucketed table: cos
+    0.21-0.53 below 1 voxel vs 0.88 on thick structure); this mirrors how
+    the reference masks direction supervision by class (loss.py:30-42),
+    extended to the radius axis. Radius/class losses are unaffected."""
     target_radius = targets[:, 0:1]
     target_direction = targets[:, 1:4]
     target_class = targets[:, 4]
@@ -89,14 +101,23 @@ def compute_loss(
     if vector_class is not None:
         vmask = mask & (target_class == vector_class)
 
+    dmask = vmask
+    if direction_min_radius is not None:
+        # linear-radius threshold applied BEFORE the log transform; float
+        # weights ride the same masked-mean machinery as the bool mask
+        big = targets[:, 0] >= direction_min_radius
+        dmask = vmask.astype(jnp.float32) * jnp.where(
+            big, 1.0, direction_subvoxel_weight
+        )
+
     if target_radius_log:
         target_radius = jnp.log(jnp.maximum(target_radius, 1e-12))
 
     if direction_loss == "l2raw":
-        dloss = l2_direction_loss(preds["direction_raw"], target_direction, vmask)
+        dloss = l2_direction_loss(preds["direction_raw"], target_direction, dmask)
     else:
         dloss = cosine_similarity_loss(
-            preds["direction"], target_direction, vmask
+            preds["direction"], target_direction, dmask
         )
 
     return {

@@ -267,11 +267,13 @@ def main(argv=None) -> int:
         voxel_size=float(cfg["voxel_size"]),
         direction_loss=cfg.get("direction_loss", "cosine"),
         feature_mode=cfg.get("feature_mode", "xyz"),
+        direction_min_radius=cfg.get("direction_min_radius"),
     )
     eval_step = make_dp_eval_step(
         model, spatial, per_dev_items, mesh, voxel_size=float(cfg["voxel_size"]),
         direction_loss=cfg.get("direction_loss", "cosine"),
         feature_mode=cfg.get("feature_mode", "xyz"),
+        direction_min_radius=cfg.get("direction_min_radius"),
     )
 
     epochs_no_improve = 0

@@ -66,6 +66,47 @@ def test_compute_loss_vector_class_mask():
     np.testing.assert_allclose(float(losses["direction"]), 0.0, atol=1e-6)
 
 
+def test_direction_min_radius_drops_subvoxel_supervision():
+    """direction_min_radius drops (or down-weights) direction loss on
+    sub-threshold-radius points; radius/class losses are untouched."""
+    n = 8
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    preds = {
+        "radius": jnp.zeros((n, 1)),
+        # perfect on thick rows, opposite on thin rows
+        "direction": jnp.asarray(np.where(np.arange(n)[:, None] < 4, dirs, -dirs)),
+        "class_l": jnp.zeros((n, 2)),
+    }
+    radius = jnp.where(jnp.arange(n) < 4, 0.05, 0.004)[:, None]  # thick/thin
+    targets = jnp.concatenate(
+        [radius, jnp.asarray(dirs), jnp.zeros((n, 1))], axis=1
+    )
+    mask = jnp.ones(n, bool)
+
+    base = compute_loss(preds, targets, mask)
+    gated = compute_loss(preds, targets, mask, direction_min_radius=0.01)
+    half = compute_loss(preds, targets, mask, direction_min_radius=0.01,
+                        direction_subvoxel_weight=0.5)
+    # ungated: half the rows at cos=-1 -> mean(1-cos) = 1.0
+    np.testing.assert_allclose(float(base["direction"]), 1.0, atol=1e-5)
+    # gated: only the perfect thick rows are supervised
+    np.testing.assert_allclose(float(gated["direction"]), 0.0, atol=1e-5)
+    # half-weight: (4*0 + 0.5*4*2) / (4 + 0.5*4) = 2/3
+    np.testing.assert_allclose(float(half["direction"]), 2.0 / 3.0, atol=1e-5)
+    # radius/class losses identical in every variant
+    for k in ("radius", "class_l"):
+        assert float(base[k]) == float(gated[k]) == float(half[k])
+    # gradients stay finite through the float-weight path
+    g = jax.grad(
+        lambda d: compute_loss(
+            {**preds, "direction": d}, targets, mask, direction_min_radius=0.01
+        )["direction"]
+    )(preds["direction"])
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_loss_gradients_finite_with_padding():
     """Padded rows (all-zero preds/targets, mask False) must not poison
     gradients — the NaN mode that broke the first training run."""
