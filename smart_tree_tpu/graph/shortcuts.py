@@ -28,24 +28,9 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("levels", "keep"))
-def chain_shortcuts(
-    idxs: jax.Array,
-    dists: jax.Array,
-    valid: jax.Array,
-    levels: int = 8,
-    keep: int = 4,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Build shortcut edges from a [N, k] KNN adjacency.
-
-    idxs  [N, k] int32 neighbor rows (-1 = missing)
-    dists [N, k] float32 edge weights
-    valid [N, k] bool — edge usable (source kept & radius-gated)
-
-    Returns (edges [N*levels*keep, 2] int32, weights [...], valid [...]):
-    for every level l in [1, levels], per-vertex `keep` composite edges
-    whose weight is the summed length of a real 2^l-hop-bounded path.
-    """
+def _shortcut_levels(idxs, dists, valid, levels: int, keep: int):
+    """Per-level [N, keep] composite endpoints/weights/valid lists; shared
+    by the flat-edge and aligned-table outputs below."""
     n, k = idxs.shape
     vid = jnp.arange(n, dtype=jnp.int32)
 
@@ -78,9 +63,64 @@ def chain_shortcuts(
         out_d.append(cur_d)
         out_v.append(cur_v)
 
-    dst = jnp.concatenate(out_i, axis=1).reshape(-1)
-    w = jnp.concatenate(out_d, axis=1).reshape(-1)
-    ev = jnp.concatenate(out_v, axis=1).reshape(-1) & jnp.isfinite(w)
+    return (
+        jnp.concatenate(out_i, axis=1),   # [N, levels*keep]
+        jnp.concatenate(out_d, axis=1),
+        jnp.concatenate(out_v, axis=1),
+    )
+
+
+@partial(jax.jit, static_argnames=("levels", "keep"))
+def chain_shortcuts(
+    idxs: jax.Array,
+    dists: jax.Array,
+    valid: jax.Array,
+    levels: int = 8,
+    keep: int = 4,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Build shortcut edges from a [N, k] KNN adjacency.
+
+    idxs  [N, k] int32 neighbor rows (-1 = missing)
+    dists [N, k] float32 edge weights
+    valid [N, k] bool — edge usable (source kept & radius-gated)
+
+    Returns (edges [N*levels*keep, 2] int32, weights [...], valid [...]):
+    for every level l in [1, levels], per-vertex `keep` composite edges
+    whose weight is the summed length of a real 2^l-hop-bounded path.
+    """
+    n, _ = idxs.shape
+    vid = jnp.arange(n, dtype=jnp.int32)
+    ci, cd, cv = _shortcut_levels(idxs, dists, valid, levels, keep)
+    dst = ci.reshape(-1)
+    w = cd.reshape(-1)
+    ev = cv.reshape(-1) & jnp.isfinite(w)
     src = jnp.broadcast_to(vid[:, None], (n, levels * keep)).reshape(-1)
     edges = jnp.stack([src, jnp.maximum(dst, 0)], axis=1)
     return edges, jnp.where(ev, w, jnp.inf), ev
+
+
+@partial(jax.jit, static_argnames=("levels", "keep"))
+def chain_shortcut_table(
+    idxs: jax.Array,
+    dists: jax.Array,
+    valid: jax.Array,
+    levels: int = 10,
+    keep: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Source-ALIGNED shortcut table: (idx2 [N, levels*keep] int32,
+    w2 [...] float32, inf where empty) — row v holds v's own composite
+    endpoints, so relaxation is one extra fixed-width gather per round
+    (`min(dist, row-min(dist[idx2] + w2))`; valid by path symmetry on an
+    undirected graph).
+
+    This is what makes shortcuts pay on TPU: merging them into the main
+    neighbor table (round 4) widened its cap 48 -> 128+ for EVERY round
+    (hub vertices aggregate incoming shortcuts), a 0.13x regression
+    (docs/PERF.md). The aligned form has no cap interaction at all —
+    per-vertex width is levels*keep by construction."""
+    ci, cd, cv = _shortcut_levels(idxs, dists, valid, levels, keep)
+    ok = cv & jnp.isfinite(cd)
+    return (
+        jnp.where(ok, ci, 0).astype(jnp.int32),
+        jnp.where(ok, cd, jnp.inf),
+    )

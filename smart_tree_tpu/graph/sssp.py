@@ -122,6 +122,36 @@ def _bf_chunk_tbl(tbl_idx, tbl_w, dist, max_rounds: int, tol=0.0):
     return dist, changed, rounds
 
 
+@partial(jax.jit, static_argnames=("max_rounds",), donate_argnums=(4,))
+def _bf_chunk_tbl2(tbl_idx, tbl_w, sc_idx, sc_w, dist, max_rounds: int,
+                   tol=0.0):
+    """Gather-form Bellman-Ford with a SECOND, source-aligned shortcut
+    table (graph/shortcuts.py::chain_shortcut_table): each round relaxes
+    over the real-edge table and over each vertex's own composite
+    endpoints — two fixed-width gathers, no scatter, no cap interaction.
+    Shortcut weights are real path sums, so no relaxation can undercut a
+    true shortest path; convergence collapses from hop-depth rounds to
+    ~log(depth) (600-chain: 600 -> 10 rounds, docs/PERF.md round-3)."""
+
+    def cond(state):
+        dist, changed, rounds = state
+        return changed & (rounds < max_rounds)
+
+    def body(state):
+        dist, _, rounds = state
+        cand = dist[tbl_idx] + tbl_w
+        new = jnp.minimum(dist, jnp.min(cand, axis=1))
+        cand2 = dist[sc_idx] + sc_w
+        new = jnp.minimum(new, jnp.min(cand2, axis=1))
+        thresh = jnp.where(jnp.isfinite(dist), dist - tol * dist - tol, INF)
+        return new, jnp.any(new < thresh), rounds + 1
+
+    dist, changed, rounds = jax.lax.while_loop(
+        cond, body, (dist, jnp.bool_(True), jnp.int32(0))
+    )
+    return dist, changed, rounds
+
+
 @partial(jax.jit, static_argnames=("num_vertices",))
 def _dist_init(sources, num_vertices: int):
     n = num_vertices
@@ -140,6 +170,7 @@ def sssp_multi(
     return_rounds: bool = False,
     rounds_per_dispatch: int = 256,
     shortcuts: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    shortcut_tbl: Tuple[jax.Array, jax.Array] | None = None,
     table: NeighborTable | None = None,
     method: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -172,6 +203,12 @@ def sssp_multi(
     filament graphs); predecessor extraction stays on the original edges,
     so the returned forest is identical up to float addition order.
 
+    `shortcut_tbl` — optional (idx2 [n,S], w2 [n,S]) ALIGNED shortcut table
+    (graph/shortcuts.py::chain_shortcut_table), the gather-method form of
+    the same acceleration: a second fixed-width gather per round instead of
+    extra table entries, so the main table's cap never widens (the failure
+    mode that made flat `shortcuts` a 0.13x regression on device, round 4).
+
     `table` — optional prebuilt NeighborTable (graph/table.py) covering
     the SAME edges (+ shortcuts as real=False extras); pass it when the
     caller already built one (the skeletonizer shares a table between
@@ -187,7 +224,7 @@ def sssp_multi(
     # with shortcuts, sub-tolerance (addition-order) refinements must not
     # count as progress or the round count regrows toward the diameter;
     # 1e-6 m is geometrically nil and well under _bf_pred's 1e-5 tolerance
-    tol = 1e-6 if shortcuts is not None else 0.0
+    tol = 1e-6 if (shortcuts is not None or shortcut_tbl is not None) else 0.0
     rounds = 0
     if method == "gather":
         if table is None:
@@ -196,15 +233,34 @@ def sssp_multi(
             )
         dist = _dist_init(sources, n)
         while True:
-            dist, changed, r = _bf_chunk_tbl(
-                table.idx, table.w, dist, rounds_per_dispatch,
-                jnp.float32(tol),
-            )
+            if shortcut_tbl is not None:
+                dist, changed, r = _bf_chunk_tbl2(
+                    table.idx, table.w, shortcut_tbl[0], shortcut_tbl[1],
+                    dist, rounds_per_dispatch, jnp.float32(tol),
+                )
+            else:
+                dist, changed, r = _bf_chunk_tbl(
+                    table.idx, table.w, dist, rounds_per_dispatch,
+                    jnp.float32(tol),
+                )
             rounds += int(r)
             if not bool(changed):
                 break
         pred = _pred_tbl(table, sources, dist, n)
     else:
+        if shortcuts is None and shortcut_tbl is not None:
+            # scatter path accelerates via flat extra edges; derive them
+            # from the aligned table (same composite paths)
+            idx2, w2 = shortcut_tbl
+            s = idx2.shape[1]
+            src = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[:, None], (n, s)
+            ).reshape(-1)
+            shortcuts = (
+                jnp.stack([src, idx2.reshape(-1)], axis=1),
+                w2.reshape(-1),
+                jnp.isfinite(w2.reshape(-1)),
+            )
         if shortcuts is not None:
             se, sw, sv = shortcuts
             redges = jnp.concatenate([edges, se], axis=0)

@@ -160,3 +160,109 @@ def nn(src, dst, r, src_valid=None, dst_valid=None):
     """Nearest single neighbour (reference graph.py:29-33)."""
     d, i = knn(src, dst, 1, r, src_valid, dst_valid)
     return d[:, 0], i[:, 0]
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _radius_count_impl(src, dst, src_valid, dst_valid, r2, delta2, cap):
+    """Per-src counts of valid dst points with d^2 < r2 -+ delta2.
+
+    Same tiled MXU distance formulation as _knn_impl, but counting instead
+    of selecting — no lax.top_k (the dominant cost of the KNN at 16k-wide
+    candidate rows) and no candidate recompute. delta2 bounds the fp32
+    |s|^2+|d|^2-2s.d cancellation error, giving a certain (d2 < r2-delta2)
+    and a possible (d2 < r2+delta2) count; callers resolve the thin
+    boundary shell exactly (see skeleton/filter.py). Counts saturate at
+    `cap` so the loop carry stays tiny."""
+    anchor = dst[jnp.argmax(dst_valid)]
+    dst_m = jnp.where(dst_valid[:, None], dst, anchor[None, :])
+    centre = (jnp.min(dst_m, axis=0) + jnp.max(dst_m, axis=0)) * 0.5
+    src = src - centre
+    dst = dst - centre
+    n = src.shape[0]
+    m = dst.shape[0]
+
+    dst_norm2 = jnp.sum(dst * dst, axis=1)
+    n_chunks = (m + _DST_CHUNK - 1) // _DST_CHUNK
+    m_pad = n_chunks * _DST_CHUNK
+    dstp = jnp.pad(dst, ((0, m_pad - m), (0, 0)))
+    dstv = jnp.pad(dst_valid, (0, m_pad - m))
+    dstn2 = jnp.pad(dst_norm2, (0, m_pad - m))
+    dst_chunks = dstp.reshape(n_chunks, _DST_CHUNK, 3)
+    dstv_chunks = dstv.reshape(n_chunks, _DST_CHUNK)
+    dstn2_chunks = dstn2.reshape(n_chunks, _DST_CHUNK)
+
+    n_tiles = (n + _SRC_TILE - 1) // _SRC_TILE
+    n_pad = n_tiles * _SRC_TILE
+    srcp = jnp.pad(src, ((0, n_pad - n), (0, 0)))
+    srcv = jnp.pad(src_valid, (0, n_pad - n))
+    r2p = jnp.pad(r2, (0, n_pad - n))
+
+    capi = jnp.int32(cap)
+
+    def src_tile_body(carry, tile):
+        s, sv, tr2 = tile
+        s_norm2 = jnp.sum(s * s, axis=1)
+
+        def dst_chunk_body(state, chunk):
+            lo, hi = state  # [TS] int32 counts
+            d, dv, dn2 = chunk
+            d2 = (
+                s_norm2[:, None]
+                + dn2[None, :]
+                - 2.0
+                * jnp.dot(
+                    s,
+                    d.T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+            d2 = jnp.where(dv[None, :], d2, jnp.inf)
+            lo = lo + jnp.sum(
+                (d2 < tr2[:, None] - delta2).astype(jnp.int32), axis=1
+            )
+            hi = hi + jnp.sum(
+                (d2 < tr2[:, None] + delta2).astype(jnp.int32), axis=1
+            )
+            return (jnp.minimum(lo, capi), jnp.minimum(hi, capi)), None
+
+        init = (jnp.zeros((s.shape[0],), jnp.int32),) * 2
+        (lo, hi), _ = jax.lax.scan(
+            dst_chunk_body, init, (dst_chunks, dstv_chunks, dstn2_chunks)
+        )
+        lo = jnp.where(sv, lo, 0)
+        hi = jnp.where(sv, hi, 0)
+        return carry, (lo, hi)
+
+    tiles = (
+        srcp.reshape(n_tiles, _SRC_TILE, 3),
+        srcv.reshape(n_tiles, _SRC_TILE),
+        r2p.reshape(n_tiles, _SRC_TILE),
+    )
+    _, (lo, hi) = jax.lax.scan(src_tile_body, None, tiles)
+    return lo.reshape(n_pad)[:n], hi.reshape(n_pad)[:n]
+
+
+def radius_count(src, dst, radii, src_valid=None, dst_valid=None, cap=8):
+    """(certain, possible) counts of valid dst within each src's radius.
+
+    certain[i] >= t guarantees >= t true neighbours (d < radii[i]);
+    possible[i] < t guarantees fewer. Rows where the two straddle t must be
+    resolved exactly by the caller — the margin delta2 scales with the
+    centred coordinate extent, bounding the MXU formulation's cancellation
+    error (the round-2 KNN lesson, docs/PERF.md)."""
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    if src_valid is None:
+        src_valid = jnp.ones((src.shape[0],), bool)
+    if dst_valid is None:
+        dst_valid = jnp.ones((dst.shape[0],), bool)
+    r2 = jnp.asarray(radii, jnp.float32).reshape(-1) ** 2
+    # error ~ few ulps of the norm terms (<= 2 E^2 after centring); 32 ulps
+    # is conservative and still thin next to r^2 >= (2 cm)^2 at tree extents
+    anchor = dst[jnp.argmax(dst_valid)]
+    dst_m = jnp.where(dst_valid[:, None], dst, anchor[None, :])
+    half = (jnp.max(dst_m, axis=0) - jnp.min(dst_m, axis=0)) * 0.5
+    e2 = jnp.sum(half * half)
+    delta2 = jnp.maximum(1e-7, 32.0 * 1.2e-7 * e2)
+    return _radius_count_impl(src, dst, src_valid, dst_valid, r2, delta2, cap)

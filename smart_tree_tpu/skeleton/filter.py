@@ -1,6 +1,16 @@
 """Medial-point outlier removal (reference smart_tree/skeleton/filter.py:6-11):
 keep a point iff all of its `nb_points` nearest neighbours (itself included)
-lie within its predicted radius."""
+lie within its predicted radius.
+
+TPU formulation: "all K nearest within r_i" is equivalent to "at least K
+points within r_i" — a pure COUNTING query, which needs no lax.top_k and no
+candidate gathers (both dominated the brute-force KNN this used to call:
+7.19 s of the round-4 skeleton stage at 219k points, docs/PERF.md). The
+count runs as tiled MXU distance blocks with a numerical margin; only the
+thin shell of points whose decision straddles the margin (the MXU
+formulation's fp32 cancellation band) is resolved with the exact KNN on a
+small gathered subset.
+"""
 
 from __future__ import annotations
 
@@ -8,6 +18,16 @@ import jax
 import jax.numpy as jnp
 
 from ..neighbors import knn
+from ..neighbors.knn import radius_count
+
+
+def _exact_keep(points, radii, queries, qradii, nb_points, valid):
+    r_max = jnp.max(jnp.where(valid, radii, 0.0))
+    dists, idxs = knn(
+        queries, points, nb_points, r_max, dst_valid=valid
+    )
+    ok = (dists < qradii[:, None]) & (idxs != -1)
+    return jnp.sum(ok, axis=1) == nb_points
 
 
 def outlier_removal(
@@ -25,12 +45,31 @@ def outlier_removal(
     so all of them are "outliers" and whole twigs vanish before graphing
     (measured round 3: a 7 m tree loses ~60% of skeleton length at
     voxel=0.01 with ground-truth-perfect predictions)."""
+    points = jnp.asarray(points, jnp.float32)
+    radii = jnp.asarray(radii, jnp.float32).reshape(-1)
     if min_radius is not None:
         radii = jnp.maximum(radii, min_radius)
-    r_max = jnp.max(jnp.where(valid, radii, 0.0) if valid is not None else radii)
-    dists, idxs = knn(points, points, nb_points, r_max, src_valid=valid, dst_valid=valid)
-    keep = (dists < radii[:, None]) & (idxs != -1)
-    mask = jnp.sum(keep, axis=1) == nb_points
-    if valid is not None:
-        mask = mask & valid
-    return mask
+    if valid is None:
+        valid = jnp.ones((points.shape[0],), bool)
+
+    certain, possible = radius_count(
+        points, points, radii, src_valid=valid, dst_valid=valid, cap=nb_points
+    )
+    keep = (certain >= nb_points) & valid
+    unresolved = (possible >= nb_points) & ~(certain >= nb_points) & valid
+
+    n_unres = int(jnp.sum(unresolved.astype(jnp.int32)))
+    if n_unres == 0:
+        return keep
+
+    # exact resolution of the margin shell: gather the unresolved rows into
+    # the smallest pow2 buffer and run the exact KNN only for them
+    cap = 256
+    while cap < n_unres:
+        cap *= 2
+    order = jnp.argsort(~unresolved, stable=True)[:cap]
+    q_keep = _exact_keep(
+        points, radii, points[order], radii[order], nb_points, valid
+    )
+    q_keep = q_keep & unresolved[order]  # padding rows stay dropped
+    return keep.at[order].set(jnp.where(unresolved[order], q_keep, keep[order]))

@@ -290,12 +290,19 @@ def sample_tree(
     hop_cap: int = 2048,
     max_branches: int = 4096,
     strict: bool = True,
+    host_pts: "np.ndarray | None" = None,
+    host_radii: "np.ndarray | None" = None,
 ) -> Dict[int, BranchSkeleton]:
     """Host wrapper: run the device loop, pull once, assemble branches.
 
     strict=True (default) raises when either static cap truncated real work
     (mirroring the inference overflow raise, infer/inference.py:205-210);
-    strict=False keeps the truncated result."""
+    strict=False keeps the truncated result.
+
+    host_pts/host_radii: optional pre-fetched numpy copies of
+    medial_pts/medial_radii — the skeletonizer calls this once per
+    component over the SAME arrays, and re-downloading them each time costs
+    a device->host transfer per component on thin interconnects."""
     medial_pts = jnp.asarray(medial_pts, jnp.float32)
     radii = jnp.asarray(medial_radii, jnp.float32).reshape(-1)
     res = sample_tree_device(
@@ -313,14 +320,24 @@ def sample_tree(
                 f"sample_tree: unallocated vertices remain at "
                 f"max_branches={max_branches}; raise max_branches"
             )
-    path_branch = np.asarray(res.path_branch)
-    path_pos = np.asarray(res.path_pos)
-    parents = np.asarray(res.branch_parents)
-    count = int(res.branch_count)
-    pts = np.asarray(medial_pts)
-    rad = np.asarray(radii)
+    path_branch, path_pos, parents, count = jax.device_get(
+        (res.path_branch, res.path_pos, res.branch_parents, res.branch_count)
+    )
+    count = int(count)
+    pts = host_pts if host_pts is not None else np.asarray(medial_pts)
+    rad = (host_radii if host_radii is not None else np.asarray(radii)).reshape(-1)
 
     branches: Dict[int, BranchSkeleton] = {}
+    for b, v in _branch_vertex_runs(path_branch, path_pos, count):
+        branches[b] = BranchSkeleton(
+            b, int(parents[b]), pts[v], rad[v].reshape(-1, 1)
+        )
+    return branches
+
+
+def _branch_vertex_runs(path_branch, path_pos, count):
+    """Yield (branch id, ordered member vertex ids) for every emitted
+    branch with >= 2 vertices, from the packed in-place path encoding."""
     member = path_branch >= 0
     order = np.lexsort((path_pos[member], path_branch[member]))
     verts = np.nonzero(member)[0][order]
@@ -329,9 +346,76 @@ def sample_tree(
     ends = np.searchsorted(bids, np.arange(count), side="right")
     for b in range(count):
         v = verts[starts[b] : ends[b]]
-        if len(v) < 2:
-            continue
-        branches[b] = BranchSkeleton(
-            b, int(parents[b]), pts[v], rad[v].reshape(-1, 1)
+        if len(v) >= 2:
+            yield b, v
+
+
+def sample_forest(
+    medial_pts,
+    medial_radii,
+    preds,
+    distances,
+    component_mask,
+    labels_np: np.ndarray,
+    hop_cap: int = 2048,
+    max_branches: int = 4096,
+    strict: bool = True,
+    host_pts: "np.ndarray | None" = None,
+    host_radii: "np.ndarray | None" = None,
+) -> Dict[int, Dict[int, BranchSkeleton]]:
+    """sample_tree over the UNION of all selected components in ONE device
+    run, split per component afterwards.
+
+    Exactly equivalent to one sample_tree per component (up to branch
+    renumbering): allocation state is per-vertex and components are
+    vertex-disjoint, so extracting a branch in one component never changes
+    another component's farthest-unallocated argmax sequence; traces follow
+    predecessors, which stay within a component; parents are the owners of
+    termination vertices, also same-component. Per-component ids are
+    assigned by extraction order, matching the per-component runs. One
+    dispatch chain instead of one per component — the per-component loop
+    was the last multi-dispatch stage of the skeletonizer (round-5 host-gap
+    work, docs/PERF.md).
+
+    Returns {component label: {branch id: BranchSkeleton}}.
+    """
+    medial_pts = jnp.asarray(medial_pts, jnp.float32)
+    radii = jnp.asarray(medial_radii, jnp.float32).reshape(-1)
+    res = sample_tree_device(
+        medial_pts, radii, jnp.asarray(preds), jnp.asarray(distances),
+        jnp.asarray(component_mask), hop_cap, max_branches,
+    )
+    if strict:
+        if int(res.hop_cap_hits):
+            raise RuntimeError(
+                f"sample_forest: {int(res.hop_cap_hits)} trace(s) truncated "
+                f"at hop_cap={hop_cap}; raise hop_cap"
+            )
+        if bool(res.branch_cap_hit):
+            raise RuntimeError(
+                f"sample_forest: unallocated vertices remain at "
+                f"max_branches={max_branches}; raise max_branches"
+            )
+    path_branch, path_pos, parents, count = jax.device_get(
+        (res.path_branch, res.path_pos, res.branch_parents, res.branch_count)
+    )
+    count = int(count)
+    pts = host_pts if host_pts is not None else np.asarray(medial_pts)
+    rad = (host_radii if host_radii is not None else np.asarray(radii)).reshape(-1)
+
+    # split by component and renumber by extraction order (global branch
+    # ids are monotone in extraction order, so sorting by global id within
+    # a component reproduces the per-component id sequence)
+    out: Dict[int, Dict[int, BranchSkeleton]] = {}
+    local_id: Dict[int, int] = {}
+    for b, v in _branch_vertex_runs(path_branch, path_pos, count):
+        comp = int(labels_np[v[0]])
+        comp_branches = out.setdefault(comp, {})
+        lb = len(comp_branches)
+        local_id[b] = lb
+        gp = int(parents[b])
+        lp = local_id.get(gp, -1) if gp >= 0 else -1
+        comp_branches[lb] = BranchSkeleton(
+            lb, lp, pts[v], rad[v].reshape(-1, 1)
         )
-    return branches
+    return out

@@ -228,6 +228,81 @@ def test_sssp_shortcuts_exact_and_fewer_rounds():
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5)
 
 
+def test_sssp_aligned_shortcut_table_exact_and_fewer_rounds():
+    """The ALIGNED shortcut table (chain_shortcut_table — a second gather
+    beside the neighbor table, NOT extra table entries) must leave
+    dist/pred unchanged while collapsing gather-method rounds on a chain,
+    and must accelerate CC identically."""
+    import jax.numpy as jnp
+
+    from smart_tree_tpu.graph import chain_shortcut_table, sssp_multi
+
+    n, k = 600, 4
+    idxs = np.full((n, k), -1, np.int32)
+    dists = np.full((n, k), np.inf, np.float32)
+    rng = np.random.default_rng(0)
+    wchain = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    for i in range(n):
+        if i > 0:
+            idxs[i, 0], dists[i, 0] = i - 1, wchain[i - 1]
+        if i < n - 1:
+            idxs[i, 1], dists[i, 1] = i + 1, wchain[i]
+    valid = idxs >= 0
+    edges = np.stack(
+        [np.repeat(np.arange(n, dtype=np.int32), k),
+         np.maximum(idxs.reshape(-1), 0)], axis=1)
+    weights = np.where(valid.reshape(-1), dists.reshape(-1), np.inf)
+    evalid = valid.reshape(-1)
+    sources = np.asarray([0], np.int32)
+
+    d0, p0, r0 = sssp_multi(edges, weights, evalid, sources, n,
+                            return_rounds=True, method="gather")
+    sct = chain_shortcut_table(jnp.asarray(idxs), jnp.asarray(dists),
+                               jnp.asarray(valid))
+    d1, p1, r1 = sssp_multi(edges, weights, evalid, sources, n,
+                            return_rounds=True, shortcut_tbl=sct,
+                            method="gather")
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    assert int(r0) >= n - 1
+    assert int(r1) < int(r0) // 8, (int(r0), int(r1))
+
+    # the scatter method derives flat edges from the same table
+    d2, p2 = sssp_multi(edges, weights, evalid, sources, n,
+                        shortcut_tbl=sct, method="scatter")
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d0), rtol=1e-5)
+
+    # CC with the shortcut table must give identical labels
+    base = np.asarray(connected_components(edges, evalid, n))
+    acc = np.asarray(connected_components(edges, evalid, n,
+                                          shortcut_tbl=sct))
+    np.testing.assert_array_equal(acc, base)
+
+    # random graphs: aligned-table dist must match plain everywhere
+    for seed in (1, 2):
+        rng = np.random.default_rng(seed)
+        nn = 150
+        e, w, v = random_graph(rng, nn, 400)
+        kk = 6
+        adj_i = np.full((nn, kk), -1, np.int32)
+        adj_d = np.full((nn, kk), np.inf, np.float32)
+        fill = np.zeros(nn, np.int32)
+        for (a, b), wt, ok in zip(np.asarray(e), np.asarray(w), np.asarray(v)):
+            if not ok:
+                continue
+            for s, t in ((a, b), (b, a)):
+                if fill[s] < kk:
+                    adj_i[s, fill[s]], adj_d[s, fill[s]] = t, wt
+                    fill[s] += 1
+        src = np.asarray([3, -1], np.int32)
+        d0, p0 = sssp_multi(e, w, v, src, nn, method="gather")
+        sct = chain_shortcut_table(jnp.asarray(adj_i), jnp.asarray(adj_d),
+                                   jnp.asarray(adj_i >= 0), levels=4, keep=3)
+        d1, p1 = sssp_multi(e, w, v, src, nn, shortcut_tbl=sct,
+                            method="gather")
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5)
+
+
 def test_gather_vs_scatter_bit_equivalence():
     """The gather-form (neighbor-table) SSSP must reproduce the legacy
     scatter formulation BIT-EXACTLY: both compute the same min-plus

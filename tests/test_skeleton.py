@@ -98,6 +98,45 @@ def test_skeletonizer_separates_disjoint_trees():
     assert sides == {False, True}, "expected skeletons on both sides"
 
 
+def test_outlier_removal_matches_bruteforce_oracle():
+    """The counting formulation of the outlier filter (MXU radius counts +
+    exact resolution of the margin shell) must reproduce the reference
+    semantics — keep iff the nb_points-th nearest neighbour lies within the
+    point's radius (filter.py:6-11) — on realistic medial geometry,
+    including the coincident piles that predicted medial points form."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    cloud, _ = generate_tree(seed=3, height=6.0, trunk_radius=0.12,
+                             points_per_m2=1500.0)
+    m = np.asarray(cloud.class_l).reshape(-1) == 0
+    pts = (np.asarray(cloud.xyz) + np.asarray(cloud.medial_vector))[m][:4000]
+    radii = np.linalg.norm(np.asarray(cloud.medial_vector)[m], axis=1)[:4000]
+    # stack coincident duplicates like real predictions do
+    pts = np.concatenate([pts, pts[:500] + 1e-6])
+    radii = np.concatenate([radii, radii[:500]])
+    n = len(pts)
+    valid = np.ones(n, bool)
+    valid[-100:] = False  # padding rows must never be counted or kept
+
+    keep = np.asarray(
+        outlier_removal(jnp.asarray(pts, jnp.float32),
+                        jnp.asarray(radii, jnp.float32),
+                        nb_points=8, valid=jnp.asarray(valid),
+                        min_radius=0.02)
+    )
+    r = np.maximum(radii, 0.02)
+    d2 = np.sum(
+        (pts[:, None, :].astype(np.float32)
+         - pts[None, :, :].astype(np.float32)) ** 2, axis=2,
+        dtype=np.float32,
+    )
+    d2[:, ~valid] = np.inf
+    counts = np.sum(np.sqrt(d2) < r[:, None], axis=1)
+    oracle = (counts >= 8) & valid
+    np.testing.assert_array_equal(keep, oracle)
+
+
 @pytest.mark.slow  # two full skeletonizer runs, ~1 min
 def test_min_filter_radius_recovers_thin_branches():
     """The min_filter_radius extension (skeleton/filter.py): clamping the

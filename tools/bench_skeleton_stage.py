@@ -152,6 +152,35 @@ def main():
         int(jnp.sum(p))
 
     _, preds = timed("sssp", lambda: run_sssp(None), sync_sssp)
+
+    # round-5 aligned shortcut TABLE (graph/shortcuts.py::chain_shortcut_
+    # table): a second fixed-width gather per round, no cap interaction —
+    # vs the round-4 flat form that widened the main table's cap (0.13x)
+    from smart_tree_tpu.graph import chain_shortcut_table
+
+    sct = timed(
+        "shortcut_table_build",
+        lambda: chain_shortcut_table(
+            graph.edges[:, 1].reshape(n, K),
+            graph.weights.reshape(n, K),
+            graph.valid.reshape(n, K),
+        ),
+        lambda s: int(jnp.sum(jnp.isfinite(s[1]))),
+    )
+    timed(
+        "sssp_with_shortcut_tbl",
+        lambda: sssp_multi(graph.edges, graph.weights, graph.valid, roots, n,
+                           shortcut_tbl=sct, table=table),
+        sync_sssp,
+    )
+    timed(
+        "cc_with_shortcut_tbl",
+        lambda: connected_components(
+            graph.edges, graph.valid, n, vertex_valid=keep, table=table,
+            shortcut_tbl=sct,
+        ),
+        lambda l: int(jnp.sum(l)),
+    )
     sc = timed(
         "shortcut_build",
         lambda: chain_shortcuts(
@@ -162,6 +191,19 @@ def main():
         lambda s: int(jnp.sum(s[2])),  # (edges, weights, valid) tuple
     )
     timed("sssp_with_shortcuts", lambda: run_sssp(sc), sync_sssp)
+
+    # the round-5 fused program: the whole graph stage in ONE dispatch
+    from smart_tree_tpu.skeleton.skeletonize import _graph_program
+
+    timed(
+        "graph_program_fused",
+        lambda: _graph_program(
+            medial_pts, radii, xyz[:, 1], keep, jnp.float32(0.02),
+            jnp.int32(32), k=K, cap=4 * K, max_components=64,
+            use_shortcuts=True, max_rounds=4096,
+        ),
+        lambda r: float(jnp.sum(jnp.where(jnp.isfinite(r[6]), r[6], 0))),
+    )
 
     step = jnp.linalg.norm(medial_pts - medial_pts[jnp.maximum(preds, 0)], axis=1)
     root_dist = timed(
