@@ -49,17 +49,27 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
     dst_norm2 = jnp.sum(dst * dst, axis=1)  # [M]
     big = jnp.float32(jnp.inf)
 
-    n_chunks = (m + _DST_CHUNK - 1) // _DST_CHUNK
-    m_pad = n_chunks * _DST_CHUNK
+    # tile/chunk widths scale DOWN to the actual operand sizes: fixed
+    # 4096x16384 tiles made a 16k-src x 128-dst query (the branch tracer's
+    # per-path select) cost a full 16k-wide distance + top_k sweep —
+    # 80 ms/greedy-iteration, the whole tracer wall (docs/PERF.md round 5)
+    chunk = 128
+    while chunk < min(m, _DST_CHUNK):
+        chunk *= 2
+    src_tile = 512
+    while src_tile < min(n, _SRC_TILE):
+        src_tile *= 2
+    n_chunks = (m + chunk - 1) // chunk
+    m_pad = n_chunks * chunk
     dstp = jnp.pad(dst, ((0, m_pad - m), (0, 0)))
     dstv = jnp.pad(dst_valid, (0, m_pad - m))
     dstn2 = jnp.pad(dst_norm2, (0, m_pad - m))
-    dst_chunks = dstp.reshape(n_chunks, _DST_CHUNK, 3)
-    dstv_chunks = dstv.reshape(n_chunks, _DST_CHUNK)
-    dstn2_chunks = dstn2.reshape(n_chunks, _DST_CHUNK)
+    dst_chunks = dstp.reshape(n_chunks, chunk, 3)
+    dstv_chunks = dstv.reshape(n_chunks, chunk)
+    dstn2_chunks = dstn2.reshape(n_chunks, chunk)
 
-    n_tiles = (n + _SRC_TILE - 1) // _SRC_TILE
-    n_pad = n_tiles * _SRC_TILE
+    n_tiles = (n + src_tile - 1) // src_tile
+    n_pad = n_tiles * src_tile
     srcp = jnp.pad(src, ((0, n_pad - n), (0, 0)))
     srcv = jnp.pad(src_valid, (0, n_pad - n))
 
@@ -67,9 +77,9 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
         s, sv = tile  # [TS,3], [TS]
         s_norm2 = jnp.sum(s * s, axis=1)
 
-        def dst_chunk_body(state, chunk):
+        def dst_chunk_body(state, xs):
             best_d, best_i = state  # [TS,K]
-            d, dv, dn2, base = chunk
+            d, dv, dn2, base = xs
             # [TS, DC] squared distances on the MXU
             d2 = (
                 s_norm2[:, None]
@@ -85,7 +95,7 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
             d2 = jnp.maximum(d2, 0.0)
             d2 = jnp.where(dv[None, :], d2, big)
             cand_d = jnp.concatenate([best_d, d2], axis=1)
-            idx_cols = base + jnp.arange(_DST_CHUNK, dtype=jnp.int32)
+            idx_cols = base + jnp.arange(chunk, dtype=jnp.int32)
             cand_i = jnp.concatenate(
                 [best_i, jnp.broadcast_to(idx_cols[None, :], d2.shape)], axis=1
             )
@@ -98,7 +108,7 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
             jnp.full((s.shape[0], ksel), big),
             jnp.full((s.shape[0], ksel), -1, jnp.int32),
         )
-        bases = (jnp.arange(n_chunks, dtype=jnp.int32) * _DST_CHUNK)
+        bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
         (best_d, best_i), _ = jax.lax.scan(
             dst_chunk_body, init, (dst_chunks, dstv_chunks, dstn2_chunks, bases)
         )
@@ -108,8 +118,8 @@ def _knn_impl(src, dst, src_valid, dst_valid, r2, k):
         best_d = jnp.where(ok, best_d, big)
         return carry, (best_d, best_i)
 
-    tiles_s = srcp.reshape(n_tiles, _SRC_TILE, 3)
-    tiles_v = srcv.reshape(n_tiles, _SRC_TILE)
+    tiles_s = srcp.reshape(n_tiles, src_tile, 3)
+    tiles_v = srcv.reshape(n_tiles, src_tile)
     _, (dists, idxs) = jax.lax.scan(src_tile_body, None, (tiles_s, tiles_v))
     dists = dists.reshape(n_pad, ksel)[:n]
     idxs = idxs.reshape(n_pad, ksel)[:n]

@@ -29,9 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import logging
+
 from ..data.branch import BranchSkeleton
 from ..neighbors import knn
 from ..neighbors.knn import _knn_impl
+
+log = logging.getLogger(__name__)
 
 
 class SampleTreeResult(NamedTuple):
@@ -137,6 +141,53 @@ def select_path_points(points, points_valid, path_pts, path_radii, path_valid):
     return (i >= 0) & (d < path_radii[jnp.maximum(i, 0)])
 
 
+_SEL_CHUNK = 128
+
+
+def _select_path_points_chunked(points, points_valid, medial_pts, radii,
+                                path, length, hop_cap: int):
+    """select_path_points paying only for the TRUE path length: the
+    [hop_cap]-padded path is swept in _SEL_CHUNK-vertex windows inside a
+    while_loop that stops at `length` (mean real path length is a few
+    vertices, hop_cap is 2048+ — the full-width KNN made each branch cost
+    a points x hop_cap distance tile, ~400x waste on the bench forest;
+    probe: sample_forest was 8.5 s of the 14.5 s round-5 forward).
+
+    Exact nearest-path-vertex semantics: a running (best_d2, best_r) pair
+    carries the nearest vertex's radius across windows, so the final
+    predicate is identical to the one-shot form (nearest path vertex
+    within ITS OWN radius), not an any-vertex-covers OR."""
+    n = points.shape[0]
+    pathp = jnp.concatenate(
+        [path, jnp.full((_SEL_CHUNK,), -1, jnp.int32)]
+    )  # window slides past length by < one chunk
+
+    def cond(c):
+        i, _, _ = c
+        return i * _SEL_CHUNK < length
+
+    def body(c):
+        i, best_d2, best_r = c
+        seg = jax.lax.dynamic_slice(pathp, (i * _SEL_CHUNK,), (_SEL_CHUNK,))
+        svalid = seg >= 0
+        ssafe = jnp.maximum(seg, 0)
+        seg_pts = medial_pts[ssafe]
+        seg_r = jnp.where(svalid, radii[ssafe], 0.0)
+        r_max = jnp.max(seg_r)
+        d, j = _knn_impl(points, seg_pts, points_valid, svalid, r_max**2, 1)
+        d, j = d[:, 0], j[:, 0]
+        d2 = jnp.where(j >= 0, d * d, jnp.inf)
+        closer = d2 < best_d2
+        best_r = jnp.where(closer, seg_r[jnp.maximum(j, 0)], best_r)
+        return i + 1, jnp.minimum(best_d2, d2), best_r
+
+    _, best_d2, best_r = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.full((n,), jnp.inf), jnp.zeros((n,))),
+    )
+    return jnp.isfinite(best_d2) & (jnp.sqrt(best_d2) < best_r)
+
+
 class _S(NamedTuple):
     dist: jax.Array
     allocated: jax.Array
@@ -208,11 +259,9 @@ def _sample_chunk(
         )
         pvalid = path >= 0
         psafe = jnp.maximum(path, 0)
-        path_pts = medial_pts[psafe]
-        path_radii = jnp.where(pvalid, radii[psafe], 0.0)
 
-        on_path = select_path_points(
-            medial_pts, s.dist >= 0, path_pts, path_radii, pvalid
+        on_path = _select_path_points_chunked(
+            medial_pts, s.dist >= 0, medial_pts, radii, path, length, hop_cap
         )
 
         make_branch = length >= 2
@@ -245,9 +294,9 @@ def _sample_chunk(
             count, s.hop_hits + hop_hit.astype(jnp.int32),
         )
 
-    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    iters, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     work_left = jnp.max(out.dist) > 0
-    return out, work_left, out.count < max_branches
+    return out, work_left, out.count < max_branches, iters
 
 
 def sample_tree_device(
@@ -258,18 +307,21 @@ def sample_tree_device(
     component_mask: jax.Array,
     hop_cap: int = 2048,
     max_branches: int = 4096,
-    branches_per_dispatch: int = 64,
+    branches_per_dispatch: int = 256,
 ) -> SampleTreeResult:
     state = _sample_init(preds, distances, component_mask, max_branches)
     jumps = build_jump_tables(jnp.asarray(preds, jnp.int32), hop_cap)
+    total_iters = 0
     while True:
-        state, work_left, under_cap = _sample_chunk(
+        state, work_left, under_cap, iters = _sample_chunk(
             medial_pts, medial_radii, jumps, state,
             hop_cap, max_branches, branches_per_dispatch,
         )
         work_left, under_cap = bool(work_left), bool(under_cap)
+        total_iters += int(iters)
         if not (work_left and under_cap):
             break
+    log.debug("sample_tree_device: %d greedy iterations", total_iters)
     return SampleTreeResult(
         path_branch=state.path_branch,
         path_pos=state.path_pos,

@@ -43,6 +43,40 @@ def test_select_path_points_radius_gate():
     assert on.tolist() == [True, True, False]
 
 
+def test_select_path_points_chunked_matches_oneshot():
+    """The windowed select (path swept _SEL_CHUNK vertices at a time, true
+    length only) must reproduce the one-shot nearest-path-vertex predicate
+    exactly — including paths spanning several windows and the
+    nearest-vertex-radius (not any-vertex-covers) semantics."""
+    import jax.numpy as jnp
+
+    from smart_tree_tpu.skeleton.path import (
+        _SEL_CHUNK,
+        _select_path_points_chunked,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    hop_cap = 2048
+    medial = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    radii = jnp.asarray(rng.uniform(0.01, 0.4, (n,)), jnp.float32)
+    pvalid = jnp.asarray(rng.uniform(size=n) < 0.7)
+    for length in [1, 3, _SEL_CHUNK, _SEL_CHUNK + 1, 5 * _SEL_CHUNK + 17]:
+        verts = rng.choice(n, size=length, replace=False).astype(np.int32)
+        path = np.full((hop_cap,), -1, np.int32)
+        path[:length] = verts
+        path_d = jnp.asarray(path)
+        pv = path_d >= 0
+        ps = jnp.maximum(path_d, 0)
+        ref = select_path_points(
+            medial, pvalid, medial[ps], jnp.where(pv, radii[ps], 0.0), pv
+        )
+        got = _select_path_points_chunked(
+            medial, pvalid, medial, radii, path_d, jnp.int32(length), hop_cap
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.slow  # ~40s
 def test_skeletonizer_recovers_synthetic_tree():
     cloud, gt_skel = generate_tree(
