@@ -100,6 +100,46 @@ class VoxelBatch(NamedTuple):
             res = res.astype(res_dtype)
         return c.astype(np.int16), res, self.origins.astype(np.float32), n
 
+    def compact_upload_sorted(
+        self, granularity: int = 4096, res_dtype=np.float16
+    ):
+        """compact_upload, but PRE-SORTED by packed voxel key on the host:
+        (skeys [stage] uint32 ascending, res [stage,3], origins, n_active).
+
+        Bytes: the int16 [stage,4] coords (8 B/voxel) become the uint32
+        packed key (4 B/voxel) the device was going to compute and sort by
+        anyway (infer/inference.py body: pack_coords -> argsort). The host
+        already recomputes that exact stable order for its own arrays
+        (core/coords.py::pack_coords_np), so shipping key-sorted rows also
+        deletes the device-side argsort+gather — active rows arrive as the
+        [:n_active] prefix. With int8 residuals the upload is 7 B/voxel vs
+        the 11 B/voxel of compact_upload (VERDICT r4 #2: the tunnel is the
+        end-to-end bottleneck at 1.6 MB/s)."""
+        assert self.origins is not None and self.voxel_size > 0
+        from ..core.coords import INVALID_KEY, pack_coords_np
+
+        keys = pack_coords_np(
+            self.coords, self.spatial_shape, self.batch_size, valid=self.valid
+        )
+        order = np.argsort(keys, kind="stable")
+        n_act = int((keys != np.uint32(INVALID_KEY)).sum())
+        stage = min(
+            len(self.coords), -(-max(n_act, 1) // granularity) * granularity
+        )
+        sel = order[:stage]
+        b = np.clip(self.coords[sel, 0], 0, len(self.origins) - 1)
+        centre = (
+            self.origins[b] + (self.coords[sel, 1:] + 0.5) * self.voxel_size
+        )
+        res = self.feats[sel, :3] - centre
+        if res_dtype == np.int8:
+            res = np.clip(
+                np.round(res / (self.voxel_size / 254.0)), -127, 127
+            ).astype(np.int8)
+        else:
+            res = res.astype(res_dtype)
+        return keys[sel], res, self.origins.astype(np.float32), n_act
+
 
 def _feature(cloud: Cloud, name: str) -> np.ndarray:
     v = np.asarray(getattr(cloud, name))

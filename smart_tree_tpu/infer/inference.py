@@ -267,6 +267,62 @@ class ModelInference:
 
         return jax.jit(body), body
 
+    @functools.lru_cache(maxsize=64)
+    def _compiled_sorted(
+        self,
+        capacity: int,
+        spatial_shape: Tuple[int, int, int],
+        batch: int,
+        level_caps: Tuple[int, ...] | None = None,
+    ):
+        """Forward over a HOST-sorted packed-key upload
+        (VoxelBatch.compact_upload_sorted): keys arrive ascending with the
+        active rows as a prefix, so the device-side pack_coords + argsort +
+        feature gather of the v1 body disappear entirely — the keys ARE the
+        sort order, and coords are unpacked from them (core/coords.py
+        unpack_keys). 7 B/voxel up (uint32 key + int8 residual) vs 11."""
+        model = self.model
+        factor = self.level_capacity_factor
+        levels = len(model.unet_planes)
+        voxel = self.voxel_size
+        feature_mode = "local" if self.model.input_channels == 4 else "xyz"
+
+        def body(variables, skeys, res, origins):
+            from ..core.coords import INVALID_KEY, unpack_keys
+            from ..core.sparse_ops import set_slab_cap_hint
+
+            set_slab_cap_hint(capacity)
+            with jax.default_matmul_precision(self.precision):
+                active = skeys != jnp.uint32(INVALID_KEY)
+                coords = unpack_keys(skeys, spatial_shape, batch)
+                b = jnp.clip(coords[:, 0], 0, origins.shape[0] - 1)
+                centre = (
+                    origins[b]
+                    + (coords[:, 1:].astype(jnp.float32) + 0.5) * voxel
+                )
+                xyz = centre + res.astype(jnp.float32)
+                if feature_mode == "local":
+                    fv = jnp.concatenate(
+                        [res.astype(jnp.float32) / voxel, xyz[:, 1:2]], axis=1
+                    )
+                else:
+                    fv = xyz
+                feats = jnp.where(active[:, None], fv, 0)
+                x = SparseVoxelTensor(
+                    keys=skeys, feats=feats, active=active,
+                    spatial_shape=spatial_shape, batch_size=batch,
+                )
+                plan = build_plan(
+                    x, levels, level_capacity_factor=factor,
+                    level_capacities=level_caps,
+                )
+                preds = model.apply(variables, plan, x.feats, train=False)
+                counts = jnp.stack([lv.count for lv in plan.levels])
+                caps = jnp.asarray([lv.keys.shape[0] for lv in plan.levels])
+                return compress_preds(preds), counts, caps
+
+        return jax.jit(body)
+
     def chained_step(self, vb):
         """One jitted call executing the FULL forward `iters` times with a
         data dependency between iterations. Timing two different `iters`
@@ -421,6 +477,26 @@ class ModelInference:
         return pad
 
     @functools.lru_cache(maxsize=256)
+    def _pad_fn_sorted(self, stage: int, cap: int, res_int8: bool):
+        """Sorted-upload twin of _pad_fn: extend staged (skeys, res) to the
+        full static capacity — INVALID keys (which sort last and read as
+        inactive) and zero residuals — and dequantize int8 residuals."""
+        voxel = self.voxel_size
+        from ..core.coords import INVALID_KEY
+
+        @jax.jit
+        def pad(skeys, res):
+            if res_int8:
+                res = (res.astype(jnp.float32) * (voxel / 254.0)).astype(
+                    jnp.float16
+                )
+            k = jnp.full((cap,), INVALID_KEY, jnp.uint32).at[:stage].set(skeys)
+            r = jnp.zeros((cap, 3), jnp.float16).at[:stage].set(res)
+            return k, r
+
+        return pad
+
+    @functools.lru_cache(maxsize=256)
     def _slice_fn(self, cap: int, stage: int):
         """Tiny jit slicing device outputs to the valid-row prefix before
         download (sorted keys put INVALID padding last, so active rows are
@@ -433,23 +509,26 @@ class ModelInference:
         return sl
 
     def _run_batch_compact(self, vb, level_caps: Tuple[int, ...] | None = None):
-        """Transfer-compacted forward on one batch: staged upload -> on-device
-        pad -> cached forward -> prefix-sliced download. The sort permutation
-        is NOT downloaded — _collect_compact recomputes it on host from the
-        bit-identical numpy key packing (core/coords.py pack_coords_np)."""
+        """Transfer-compacted forward on one batch: host-sorted packed-key
+        staged upload (compact_upload_sorted, 7 B/voxel) -> on-device pad ->
+        cached forward (no device argsort) -> prefix-sliced download. The
+        sort permutation is NOT downloaded — _collect_compact recomputes it
+        on host from the bit-identical numpy key packing (core/coords.py
+        pack_coords_np), the same order the upload was sorted by."""
         cap = len(vb.coords)
-        run = self._compiled(cap, vb.spatial_shape, vb.batch_size, level_caps)
+        run = self._compiled_sorted(
+            cap, vb.spatial_shape, vb.batch_size, level_caps
+        )
         res_int8 = self.model.input_channels != 4  # absolute-xyz features
-        c16, res, orig, n = vb.compact_upload(
+        skeys, res, orig, n_act = vb.compact_upload_sorted(
             self.upload_granularity, np.int8 if res_int8 else np.float16
         )
-        stage = len(c16)
-        coords_d, res_d, valid_d = self._pad_fn(stage, cap, res_int8)(
-            jnp.asarray(c16), jnp.asarray(res), jnp.int32(n)
+        stage = len(skeys)
+        skeys_d, res_d = self._pad_fn_sorted(stage, cap, res_int8)(
+            jnp.asarray(skeys), jnp.asarray(res)
         )
-        preds, order, active, counts, caps = run(
-            self.variables, coords_d, res_d, jnp.asarray(orig), valid_d
-        )
+        preds, counts, caps = run(self.variables, skeys_d, res_d,
+                                  jnp.asarray(orig))
         radius, direction, class_l = self._slice_fn(cap, stage)(
             preds["radius"], preds["direction"], preds["class_l"]
         )
