@@ -48,11 +48,21 @@ DEFAULT_WEIGHTS = str(REPO / "smart_tree_tpu/weights/noble-elevator-58.npz")
 
 
 def _guard_tpu_env(env: dict) -> None:
-    """Default the TPU topology env vars libtpu needs; when the driver's
-    shell lacks them init degrades into the exact crash recorded in
-    BENCH_r04.json (unset TPU_ACCELERATOR_TYPE / TPU_WORKER_HOSTNAMES)."""
-    env.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-4")
-    env.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    """Default the TPU topology env vars libtpu needs. The round-4/5 crash
+    tails show they are not merely UNSET in the driver's shell — the
+    tooling populates them with literal warning text ("WARNING: could not
+    determine TPU worker hostnames or IP addresses"), which libtpu then
+    rejects ("unexpected worker hostname ... from env var
+    TPU_WORKER_HOSTNAMES"). So overwrite any value that cannot be a
+    hostname/accelerator type (spaces), not just fill absent ones."""
+    defaults = {
+        "TPU_ACCELERATOR_TYPE": "v5litepod-4",
+        "TPU_WORKER_HOSTNAMES": "localhost",
+    }
+    for key, val in defaults.items():
+        cur = env.get(key)
+        if not cur or " " in cur or "WARNING" in cur.upper():
+            env[key] = val
 
 
 def _write_partial(path: str | None, data: dict) -> None:
@@ -108,6 +118,10 @@ def run_bench(
         # ceiling — the smallest configuration that still covers the bench
         # cloud, for escaping HBM/compile-size failures in the default one
         level_capacity_factor=0.25 if reduced else 0.5,
+        # shipped-pipeline download cull (conf/pipeline.yaml medial_classes):
+        # radius/direction only for interior branch-class voxels, class only
+        # for interior voxels — foliage and halo rows never cross the link
+        medial_classes=(0,),
     )
     if reduced:
         mi.max_batch_capacity = min(mi.max_batch_capacity, 65536)
@@ -141,6 +155,40 @@ def run_bench(
         vs_baseline=round(pps / CPU_BASELINE_POINTS_PER_SEC, 2),
         end_to_end_s=round(dt, 3),
     )
+    _write_partial(partial_path, partial)
+
+    # clouds/min END-TO-END — the second half of the north-star metric
+    # (BASELINE.json: "points/sec sparse-UNet inference; clouds/min
+    # end-to-end skeletonization"): one full cloud -> skeleton pass
+    # (inference + class filter + Skeletonizer.forward), timed warm.
+    # Contained: a skeleton-stage failure degrades to an error note, not a
+    # dead bench.
+    skel_fields: dict = {}
+    try:
+        from smart_tree_tpu.skeleton.skeletonize import Skeletonizer
+
+        sk = Skeletonizer()
+        note("skeleton stage: warmup (compiles the graph program)...")
+        lc = mi.forward(cloud)
+        branch = lc.filter_by_class([0])
+        sk.forward(branch)  # warm/compile
+        note("skeleton stage warmed; timing full cloud->skeleton pass")
+        t0 = time.perf_counter()
+        lc = mi.forward(cloud)
+        branch = lc.filter_by_class([0])
+        skel = sk.forward(branch)
+        pipeline_s = time.perf_counter() - t0
+        skel_fields = {
+            "n_branch_points": len(branch),
+            "n_skeletons": len(skel.skeletons),
+            "pipeline_s": round(pipeline_s, 2),
+            "clouds_per_min_e2e": round(60.0 / pipeline_s, 2),
+        }
+        note(f"cloud->skeleton {pipeline_s:.1f}s "
+             f"({skel_fields['clouds_per_min_e2e']} clouds/min)")
+    except Exception as e:  # noqa: BLE001 — containment by design
+        skel_fields = {"skeleton_error": f"{type(e).__name__}: {e}"}
+    partial.update(stage="skeleton_done", **skel_fields)
     _write_partial(partial_path, partial)
 
     # device-only metric: TRUE per-forward device time, measured by running
@@ -200,6 +248,7 @@ def run_bench(
         "dispatch_overhead_s": round(dispatch_total_s, 3),
         "n_points": n_points,
         "end_to_end_s": round(dt, 3),
+        **skel_fields,
     }
 
 

@@ -166,6 +166,7 @@ class ModelInference:
         hbm_budget_bytes: int = 12 << 30,
         compact_transfers: bool = True,
         upload_granularity: int = 4096,
+        medial_classes=None,
     ):
         self.voxel_size = voxel_size
         self.block_size = block_size
@@ -178,6 +179,18 @@ class ModelInference:
         # (see VoxelBatch.compact_upload)
         self.compact_transfers = compact_transfers
         self.upload_granularity = upload_granularity
+        # download cull (VERDICT r4 #2): when set (e.g. (0,) = branch), the
+        # device argmaxes the class, partitions rows medial-first, and only
+        # class values for INTERIOR rows plus radius/direction for interior
+        # rows OF THESE CLASSES ever cross the link — the skeletonizer
+        # consumes nothing else (the reference downloads everything and
+        # filters on host, pipeline.py:68). Non-medial rows come back with
+        # medial_vector = 0. None = download everything (quality-eval mode).
+        self.medial_classes = (
+            tuple(int(c) for c in medial_classes)
+            if medial_classes is not None
+            else None
+        )
         # occupancy shrinks ~2-4x per stride-2 level on branch-like point
         # sets, so buffers sized at factor 0.5 of the previous level hold the
         # real voxels comfortably while cutting the deep levels' gather temps
@@ -322,6 +335,48 @@ class ModelInference:
                 return compress_preds(preds), counts, caps
 
         return jax.jit(body)
+
+    @functools.lru_cache(maxsize=64)
+    def _partition_fn(self, cap: int):
+        """Download CULL (VERDICT r4 #2), as a SEPARATE tiny jit applied to
+        the forward's outputs — NOT fused into the forward program: the
+        fused form pushed the largest bucket's program past the remote
+        compile helper's memory limit (SIGKILL, the round-4 bench killer),
+        while this program is two argsorts + three gathers and compiles in
+        seconds. Rows are partitioned on device so that only what the
+        pipeline actually consumes need cross the link —
+          class_l : permuted interior-rows-first (stable, so interior rows
+                    keep their sorted-key order); the host downloads the
+                    first n_interior entries (it knows n_interior from its
+                    own mask/keys — no sync needed);
+          radius/direction : permuted (interior & medial-class)-rows-first;
+                    the host computes that count from the downloaded classes
+                    and slices before the 5 B/row arrays transfer.
+        The reference downloads every head for every voxel and filters to
+        branch class on host (model_inference.py:73-78, pipeline.py:68);
+        here foliage and halo rows never leave the device. Interiorness
+        ships as packed bits with the upload (compact_upload_sorted
+        with_mask)."""
+        from ..core.coords import INVALID_KEY
+
+        classes = self.medial_classes
+
+        @jax.jit
+        def part(radius, direction, class_l, skeys, interior):
+            active = skeys != jnp.uint32(INVALID_KEY)
+            keep_i = active & interior
+            is_med = functools.reduce(
+                jnp.logical_or, [class_l == jnp.int8(c) for c in classes]
+            )
+            keep_m = keep_i & is_med
+            # stable sort on ~keep: kept rows first, original order — the
+            # exact order the host reconstructs from its own copy of the
+            # mask (interior) and the downloaded classes (medial)
+            perm_i = jnp.argsort((~keep_i).astype(jnp.uint8), stable=True)
+            perm_m = jnp.argsort((~keep_m).astype(jnp.uint8), stable=True)
+            return radius[perm_m], direction[perm_m], class_l[perm_i]
+
+        return part
 
     def chained_step(self, vb):
         """One jitted call executing the FULL forward `iters` times with a
@@ -497,6 +552,43 @@ class ModelInference:
         return pad
 
     @functools.lru_cache(maxsize=256)
+    def _pad_fn_sorted_culled(self, stage: int, cap: int, res_int8: bool):
+        """_pad_fn_sorted plus the packed interior bits: unpack the staged
+        bitfield to a [cap] bool (padding rows read as exterior)."""
+        voxel = self.voxel_size
+        from ..core.coords import INVALID_KEY
+
+        @jax.jit
+        def pad(skeys, res, bits):
+            if res_int8:
+                res = (res.astype(jnp.float32) * (voxel / 254.0)).astype(
+                    jnp.float16
+                )
+            k = jnp.full((cap,), INVALID_KEY, jnp.uint32).at[:stage].set(skeys)
+            r = jnp.zeros((cap, 3), jnp.float16).at[:stage].set(res)
+            ib = jnp.unpackbits(bits, count=stage).astype(bool)
+            interior = jnp.zeros((cap,), bool).at[:stage].set(ib)
+            return k, r, interior
+
+        return pad
+
+    @functools.lru_cache(maxsize=256)
+    def _slice1_fn(self, cap: int, stage: int):
+        @jax.jit
+        def sl(a):
+            return a[:stage]
+
+        return sl
+
+    @functools.lru_cache(maxsize=256)
+    def _slice2_fn(self, cap: int, stage: int):
+        @jax.jit
+        def sl(radius, direction):
+            return radius[:stage], direction[:stage]
+
+        return sl
+
+    @functools.lru_cache(maxsize=256)
     def _slice_fn(self, cap: int, stage: int):
         """Tiny jit slicing device outputs to the valid-row prefix before
         download (sorted keys put INVALID padding last, so active rows are
@@ -537,6 +629,92 @@ class ModelInference:
             counts,
             caps,
         )
+
+    def _round_stage(self, n: int, cap: int) -> int:
+        g = self.upload_granularity
+        return min(cap, -(-max(n, 1) // g) * g)
+
+    def _run_batch_culled(self, vb, level_caps: Tuple[int, ...] | None = None):
+        """Culled-download forward on one batch: sorted staged upload plus
+        packed interior bits -> on-device pad -> the UNCHANGED forward
+        program (_compiled_sorted) -> tiny partition jit. Returns
+        full-capacity device arrays; _collect_culled slices them to the
+        host-computed counts before anything downloads."""
+        cap = len(vb.coords)
+        run = self._compiled_sorted(
+            cap, vb.spatial_shape, vb.batch_size, level_caps
+        )
+        res_int8 = self.model.input_channels != 4
+        skeys, res, orig, n_act, bits = vb.compact_upload_sorted(
+            self.upload_granularity,
+            np.int8 if res_int8 else np.float16,
+            with_mask=True,
+        )
+        stage = len(skeys)
+        skeys_d, res_d, interior_d = self._pad_fn_sorted_culled(
+            stage, cap, res_int8
+        )(jnp.asarray(skeys), jnp.asarray(res), jnp.asarray(bits))
+        preds, counts, caps = run(self.variables, skeys_d, res_d,
+                                  jnp.asarray(orig))
+        rad_p, dir_p, cls_p = self._partition_fn(cap)(
+            preds["radius"], preds["direction"], preds["class_l"],
+            skeys_d, interior_d,
+        )
+        return (
+            {"radius": rad_p, "direction": dir_p, "class_l": cls_p},
+            counts,
+            caps,
+        )
+
+    def _collect_culled(self, vb, out, sinks, attempt: int = 0):
+        """Culled-download twin of _collect_compact. The host reconstructs
+        both device permutations from information it already has: interior
+        rows from its own mask + bit-identical key sort, medial rows from
+        the (1 B/row, interior-only) downloaded classes — so the 5 B/row
+        radius+direction download covers exactly the rows the skeletonizer
+        will consume. Non-medial interior rows get medial_vector = 0."""
+        preds, counts, caps = out
+        if bool(np.any(np.asarray(counts) > np.asarray(caps))):
+            if attempt >= len(self.model.unet_planes):
+                raise RuntimeError(
+                    f"UNet level buffer overflow persists after {attempt} "
+                    f"counts-driven retries (counts {np.asarray(counts)} vs "
+                    f"capacities {np.asarray(caps)})"
+                )
+            level_caps = self._retry_caps(counts, caps)
+            out = self._run_batch_culled(vb, level_caps=level_caps)
+            return self._collect_culled(vb, out, sinks, attempt + 1)
+        from ..core.coords import pack_coords_np
+
+        out_xyzrgb, out_radius, out_dir, out_class = sinks
+        cap = len(vb.coords)
+        keys = pack_coords_np(
+            vb.coords, vb.spatial_shape, vb.batch_size, valid=vb.valid
+        )
+        order = np.argsort(keys, kind="stable")
+        n_act = int((keys != np.uint32(0xFFFFFFFF)).sum())
+        keep = vb.mask[order[:n_act]]          # device keep_i over active rows
+        rows = order[:n_act][keep]             # original rows, sorted order
+        n_i = int(keep.sum())
+        if n_i == 0:
+            return
+        cls = np.asarray(
+            self._slice1_fn(cap, self._round_stage(n_i, cap))(preds["class_l"])
+        )[:n_i]
+        med = np.isin(cls, np.asarray(self.medial_classes, cls.dtype))
+        m = int(med.sum())
+        r_s, d_s = self._slice2_fn(cap, self._round_stage(m, cap))(
+            preds["radius"], preds["direction"]
+        )
+        radius = np.zeros((n_i, 1), np.float32)
+        direction = np.zeros((n_i, 3), np.float32)
+        pos = np.flatnonzero(med)
+        radius[pos] = np.asarray(r_s).astype(np.float32)[:m]
+        direction[pos] = decode_direction(np.asarray(d_s)[:m])
+        out_xyzrgb.append(vb.feats[rows][:, :6])
+        out_radius.append(radius)
+        out_dir.append(direction)
+        out_class.append(cls)
 
     def _collect_compact(self, vb, out, sinks, attempt: int = 0):
         """Compact-path twin of _collect: overflow retry on the device
@@ -640,6 +818,9 @@ class ModelInference:
         n_dev = len(jax.devices())
         sinks = ([], [], [], [])
         if n_dev > 1 and len(batches) > 1:
+            # multichip block sharding keeps the full (unculled) download:
+            # its stacked [n_dev, ...] layout shares one program across
+            # devices whose per-device interior/medial counts differ
             collect = (
                 self._collect_compact if self.compact_transfers else self._collect
             )
@@ -650,13 +831,20 @@ class ModelInference:
             # so async dispatch still overlaps upload/compute/download but
             # per-execution HBM temps never stack unboundedly (VERDICT r2 —
             # every batch in flight at max capacity contributed to the OOM)
+            culled = self.medial_classes is not None and self.compact_transfers
             run = (
-                self._run_batch_compact
+                self._run_batch_culled
+                if culled
+                else self._run_batch_compact
                 if self.compact_transfers
                 else self._run_batch
             )
             collect = (
-                self._collect_compact if self.compact_transfers else self._collect
+                self._collect_culled
+                if culled
+                else self._collect_compact
+                if self.compact_transfers
+                else self._collect
             )
             window: list = []
             for vb in batches:
