@@ -434,6 +434,7 @@ class ModelInference:
         batch: int,
         n_dev: int,
         stage: int | None = None,
+        culled: bool = False,
     ):
         from ..parallel.block_infer import make_sharded_forward
         from ..parallel.mesh import make_mesh
@@ -449,6 +450,7 @@ class ModelInference:
             voxel_size=self.voxel_size,
             staged=None if stage is None else (stage, capacity),
             res_int8=self.model.input_channels != 4,
+            medial_classes=self.medial_classes if culled else None,
         )
 
     def _submit_multichip(self, batches, n_dev: int):
@@ -465,22 +467,26 @@ class ModelInference:
         )
 
         pending = []
+        culled = self.medial_classes is not None and self.compact_transfers
         keyf = lambda vb: (len(vb.coords), vb.spatial_shape, vb.batch_size)
         for key, group in itertools.groupby(sorted(batches, key=keyf), key=keyf):
             cap, spatial, bsz = key
             if self.compact_transfers:
                 res_int8 = self.model.input_channels != 4
-                for chunk, c16, res, n, origins, keep, stage in (
+                for chunk, c16, res, n, origins, keep, stage, bits in (
                     stack_device_batches_compact(
                         list(group), n_dev, self.upload_granularity,
                         np.int8 if res_int8 else np.float16,
                     )
                 ):
-                    fwd = self._compiled_sharded(cap, spatial, bsz, n_dev, stage)
-                    preds, counts, caps = fwd(
-                        jnp.asarray(c16), jnp.asarray(res),
-                        jnp.asarray(n), jnp.asarray(origins),
+                    fwd = self._compiled_sharded(
+                        cap, spatial, bsz, n_dev, stage, culled
                     )
+                    args = [jnp.asarray(c16), jnp.asarray(res),
+                            jnp.asarray(n), jnp.asarray(origins)]
+                    if culled:
+                        args.append(jnp.asarray(bits))
+                    preds, counts, caps = fwd(*args)
                     for d in range(n_dev):
                         if not keep[d]:
                             continue
@@ -818,11 +824,16 @@ class ModelInference:
         n_dev = len(jax.devices())
         sinks = ([], [], [], [])
         if n_dev > 1 and len(batches) > 1:
-            # multichip block sharding keeps the full (unculled) download:
-            # its stacked [n_dev, ...] layout shares one program across
-            # devices whose per-device interior/medial counts differ
+            # multichip block sharding: the cull runs per shard inside the
+            # sharded program (block_infer.make_sharded_forward); the host
+            # then downloads per-device prefixes exactly as on one device
+            culled = self.medial_classes is not None and self.compact_transfers
             collect = (
-                self._collect_compact if self.compact_transfers else self._collect
+                self._collect_culled
+                if culled
+                else self._collect_compact
+                if self.compact_transfers
+                else self._collect
             )
             for vb, out in self._submit_multichip(batches, n_dev):
                 collect(vb, out, sinks)

@@ -39,6 +39,7 @@ def make_sharded_forward(
     voxel_size: float = 0.01,
     staged: Tuple[int, int] | None = None,
     res_int8: bool = False,
+    medial_classes: Tuple[int, ...] | None = None,
 ):
     """Returns fn(coords16 [D,cap,4] i16, res16 [D,cap,3] f16,
     valid [D,cap], origins [D,items,3] f32) ->
@@ -53,7 +54,19 @@ def make_sharded_forward(
     the host recomputes the stable sort order from bit-identical numpy key
     packing (core/coords.py::pack_coords_np). Returns
     (preds [D,stage,...], counts, caps). res_int8 marks voxel/254-quantized
-    residuals (absolute-xyz feature models)."""
+    residuals (absolute-xyz feature models).
+
+    medial_classes (staged mode only) applies the per-shard download CULL
+    (infer/inference.py::_partition_fn semantics): each shard permutes
+    radius/direction (interior & medial-class)-rows-first and class
+    interior-rows-first, so the host downloads only the row counts it
+    derives from its own mask + the (1 B/row) classes. Requires the packed
+    interior bits [D, ceil(stage/8)] as a 5th input
+    (stack_device_batches_compact's `bits`). The partition is fused into
+    the sharded program here (unlike the single-device path, which keeps
+    it a separate jit to stay under the remote compile helper's memory
+    limit) — multi-chip runs compile per-shard programs of the same size
+    as the plain staged forward plus two argsorts."""
     levels = len(model.unet_planes)
     feature_mode = "local" if model.input_channels == 4 else "xyz"
     # trace-time slab-threshold hint (see infer/inference.py body): per-shard
@@ -62,7 +75,7 @@ def make_sharded_forward(
 
     set_slab_cap_hint(staged[1] if staged is not None else 0)
 
-    def per_shard_staged(coords16, res16, n, origins):
+    def per_shard_staged(coords16, res16, n, origins, *bits):
         stage, cap = staged
         c16, res = coords16[0], res16[0]
         if res_int8:
@@ -75,6 +88,27 @@ def make_sharded_forward(
         preds, order, active, counts, caps = body(
             coords_full, res_full, valid, origins[0]
         )
+        if medial_classes:
+            import functools as _ft
+
+            # interior bits arrive in RAW upload-row order; move them into
+            # the device's sorted-key space with the same `order` the
+            # features went through (padding rows unpack to False)
+            ib = jnp.unpackbits(bits[0][0], count=stage).astype(bool)
+            interior = jnp.zeros((cap,), bool).at[:stage].set(ib)[order]
+            keep_i = active & interior
+            is_med = _ft.reduce(
+                jnp.logical_or,
+                [preds["class_l"] == jnp.int8(c) for c in medial_classes],
+            )
+            keep_m = keep_i & is_med
+            perm_i = jnp.argsort((~keep_i).astype(jnp.uint8), stable=True)
+            perm_m = jnp.argsort((~keep_m).astype(jnp.uint8), stable=True)
+            preds = {
+                "radius": preds["radius"][perm_m],
+                "direction": preds["direction"][perm_m],
+                "class_l": preds["class_l"][perm_i],
+            }
         preds = jax.tree.map(lambda a: a[:stage], preds)
         return (
             jax.tree.map(lambda a: a[None], preds),
@@ -121,10 +155,11 @@ def make_sharded_forward(
         return compress_preds(preds), order, active, counts, caps
 
     if staged is not None:
+        n_in = 5 if medial_classes else 4
         sharded = jax.shard_map(
             per_shard_staged,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            in_specs=tuple(P(axis) for _ in range(n_in)),
             out_specs=(P(axis), P(axis), P(axis)),
             check_vma=False,
         )
@@ -144,7 +179,10 @@ def stack_device_batches_compact(batches, n_dev: int, granularity: int,
     """Compact-transfer twin of stack_device_batches: stage only each
     batch's valid-row prefix (VoxelBatch.compact_upload), re-padded to the
     GROUP's max stage so the [n_dev, stage, ...] stack is rectangular.
-    Yields (chunk, c16, res, n, origins, keep, stage)."""
+    Yields (chunk, c16, res, n, origins, keep, stage, bits) where `bits` is
+    each batch's interior/loss mask over the staged rows, packed to
+    [n_dev, ceil(stage/8)] uint8 (the download cull's 5th input — padding
+    rows pack as 0 = exterior)."""
     groups = []
     for start in range(0, len(batches), n_dev):
         chunk = list(batches[start : start + n_dev])
@@ -164,7 +202,11 @@ def stack_device_batches_compact(batches, n_dev: int, granularity: int,
         origins = np.stack([c[2] for c in comp])
         n = np.asarray([c[3] for c in comp], np.int32)
         keep = np.arange(n_dev) < real
-        groups.append((chunk, c16, res, n, origins, keep, stage))
+        bits = np.stack([
+            np.packbits(pad_to(b.mask[: len(c[0])], stage))
+            for b, c in zip(chunk, comp)
+        ])
+        groups.append((chunk, c16, res, n, origins, keep, stage, bits))
     return groups
 
 

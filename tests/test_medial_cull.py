@@ -79,6 +79,40 @@ def test_culled_forward_equals_compact_on_branch_rows():
     assert out["n_branch"] > 0 and out["n_foliage"] > 0, out
 
 
+@pytest.mark.slow  # two sharded-forward compiles (~3 min on this 1-core host)
+def test_culled_multichip_equals_unculled_multichip():
+    """The per-shard cull (parallel/block_infer.py) over the conftest's
+    8-virtual-device mesh: same rows, same classes, near-identical branch
+    medial vectors (different sharded programs may fuse differently — the
+    int8 direction quantization can flip one 1/127 step), exact zeros on
+    undownloaded rows."""
+    import jax
+
+    from smart_tree_tpu.data.augmentations import CentreCloud
+    from smart_tree_tpu.data.synthetic import generate_tree
+    from smart_tree_tpu.infer.inference import ModelInference
+
+    assert len(jax.devices()) == 8  # conftest CPU mesh
+    cloud, _ = generate_tree(seed=100, height=8.0, trunk_radius=0.15,
+                             points_per_m2=3000.0, foliage_points=4000)
+    cloud = CentreCloud()(cloud)
+    w = "smart_tree_tpu/weights/synthetic-r3.npz"
+    a = ModelInference(w, batch_size=2, medial_classes=(0,)).forward(cloud)
+    b = ModelInference(w, batch_size=2).forward(cloud)
+
+    np.testing.assert_array_equal(np.asarray(a.xyz), np.asarray(b.xyz))
+    np.testing.assert_array_equal(np.asarray(a.class_l), np.asarray(b.class_l))
+    cls = np.asarray(b.class_l).reshape(-1)
+    branch = cls == 0
+    assert branch.sum() > 0 and (~branch).sum() > 0
+    np.testing.assert_allclose(
+        np.asarray(a.medial_vector)[branch],
+        np.asarray(b.medial_vector)[branch],
+        rtol=2e-2, atol=2e-4,
+    )
+    np.testing.assert_array_equal(np.asarray(a.medial_vector)[~branch], 0.0)
+
+
 def test_sorted_upload_with_mask_bits_roundtrip():
     """compact_upload_sorted(with_mask=True) bits decode back to the mask of
     the staged sorted rows."""
