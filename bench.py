@@ -123,6 +123,13 @@ def run_bench(
         # for interior voxels — foliage and halo rows never cross the link
         medial_classes=(0,),
     )
+    # batch ceiling 262k: the HBM-aware sizing allows 524k-cap batches, but
+    # the overflow-retry recompile of a 524k program (custom level caps)
+    # SIGKILLs this environment's memory-capped local compile helper —
+    # observed twice on 2026-08-20. 262k is the size class every round-4
+    # program (including retry variants) compiled reliably, and two 262k
+    # batches pipeline anyway.
+    mi.max_batch_capacity = min(mi.max_batch_capacity, 262144)
     if reduced:
         mi.max_batch_capacity = min(mi.max_batch_capacity, 65536)
 
@@ -289,6 +296,13 @@ def _supervise(argv: list[str]) -> int:
                                            "2700"))
     attempts = [
         ("default", {}, []),
+        # same config again: an attempt that died on the ATTEMPT TIMEOUT
+        # spent its budget on cold compiles through the remote-compile
+        # tunnel (20-90 s per bucket, worse under load) — those compiles
+        # are in the persistent /tmp/jax_cache now, so the warm retry runs
+        # the measurement in a fraction of the time. Switching straight to
+        # slab-off would instead recompile EVERY bucket cold again.
+        ("default-warm-retry", {}, []),
         ("slab-off", {"SMART_TREE_TPU_SLAB": "0"}, []),
         ("slab-off+reduced-capacity", {"SMART_TREE_TPU_SLAB": "0"},
          ["--reduced"]),

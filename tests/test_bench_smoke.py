@@ -30,6 +30,11 @@ def test_run_bench_tiny():
         assert key in out, key
     assert out["value"] > 0
     assert out["device_points_per_sec"] > 0
+    # the clouds/min end-to-end half of the north-star metric (round 5):
+    # either the measured number or a contained error note must be present
+    assert "clouds_per_min_e2e" in out or "skeleton_error" in out, out
+    if "clouds_per_min_e2e" in out:
+        assert out["clouds_per_min_e2e"] > 0
     import json
 
     json.dumps(out)  # serializable
