@@ -54,7 +54,14 @@ def main():
     n = len(cloud)
     print(f"# forest: {n/1e6:.2f}M points, {args.trees} trees", file=sys.stderr)
 
-    mi = ModelInference(args.weights, precision="bfloat16")
+    # shipped-pipeline transfer config: download cull + a batch ceiling —
+    # overflow-retry recompiles of large-capacity programs can exceed the
+    # local compile helper's memory limit (SIGKILL; see bench.py). 131k
+    # keeps every program in the size class that compiles reliably, and at
+    # 2M+ points the batch count (not size) amortizes dispatch anyway.
+    mi = ModelInference(args.weights, precision="bfloat16",
+                        medial_classes=(0,))
+    mi.max_batch_capacity = min(mi.max_batch_capacity, 131072)
     t0 = time.perf_counter()
     mi.forward(cloud)  # warm (compiles)
     warm = time.perf_counter() - t0

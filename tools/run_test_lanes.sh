@@ -27,7 +27,9 @@ lane() { # name, pytest-args...
   echo "== lane: $name  (pytest $*) ==" >> "$OUT"
   local t0=$SECONDS
   timeout 3600 python -m pytest "$@" -q 2>&1 | tail -3 >> "$OUT"
-  echo "rc=$? wall=$((SECONDS - t0))s" >> "$OUT"
+  # PIPESTATUS[0]: $? after a pipe is tail's rc, which is always 0 — the
+  # r5 first stamp recorded a crashed lane as rc=0 that way
+  echo "rc=${PIPESTATUS[0]} wall=$((SECONDS - t0))s" >> "$OUT"
 }
 
 lane default tests/
