@@ -374,7 +374,12 @@ class ModelInference:
             # mask (interior) and the downloaded classes (medial)
             perm_i = jnp.argsort((~keep_i).astype(jnp.uint8), stable=True)
             perm_m = jnp.argsort((~keep_m).astype(jnp.uint8), stable=True)
-            return radius[perm_m], direction[perm_m], class_l[perm_i]
+            # n_med rides back with the counts fetch so the host can slice
+            # class AND radius/direction in ONE dispatch — through a
+            # high-latency relay every extra sequential fetch round costs
+            # more than the bytes it moves
+            return (radius[perm_m], direction[perm_m], class_l[perm_i],
+                    jnp.sum(keep_m, dtype=jnp.int32))
 
         return part
 
@@ -486,7 +491,9 @@ class ModelInference:
                             jnp.asarray(n), jnp.asarray(origins)]
                     if culled:
                         args.append(jnp.asarray(bits))
-                    preds, counts, caps = fwd(*args)
+                        preds, counts, caps, n_med = fwd(*args)
+                    else:
+                        preds, counts, caps = fwd(*args)
                     for d in range(n_dev):
                         if not keep[d]:
                             continue
@@ -494,6 +501,8 @@ class ModelInference:
                             {k: v[d] for k, v in preds.items()},
                             counts[d], caps[d],
                         )
+                        if culled:
+                            out = out + (n_med[d],)
                         pending.append((chunk[d], out))
                 continue
             fwd = self._compiled_sharded(cap, spatial, bsz, n_dev)
@@ -662,7 +671,7 @@ class ModelInference:
         )(jnp.asarray(skeys), jnp.asarray(res), jnp.asarray(bits))
         preds, counts, caps = run(self.variables, skeys_d, res_d,
                                   jnp.asarray(orig))
-        rad_p, dir_p, cls_p = self._partition_fn(cap)(
+        rad_p, dir_p, cls_p, n_med = self._partition_fn(cap)(
             preds["radius"], preds["direction"], preds["class_l"],
             skeys_d, interior_d,
         )
@@ -670,7 +679,21 @@ class ModelInference:
             {"radius": rad_p, "direction": dir_p, "class_l": cls_p},
             counts,
             caps,
+            n_med,
         )
+
+    @functools.lru_cache(maxsize=256)
+    def _slice3_fn(self, cap: int, ni_stage: int, m_stage: int):
+        """One dispatch slicing all three culled downloads (class to the
+        host-known interior count, radius/direction to the device-reported
+        medial count) — sequential fetch rounds dominate small transfers
+        over a high-latency relay."""
+
+        @jax.jit
+        def sl(class_l, radius, direction):
+            return class_l[:ni_stage], radius[:m_stage], direction[:m_stage]
+
+        return sl
 
     def _collect_culled(self, vb, out, sinks, attempt: int = 0):
         """Culled-download twin of _collect_compact. The host reconstructs
@@ -679,7 +702,8 @@ class ModelInference:
         the (1 B/row, interior-only) downloaded classes — so the 5 B/row
         radius+direction download covers exactly the rows the skeletonizer
         will consume. Non-medial interior rows get medial_vector = 0."""
-        preds, counts, caps = out
+        preds, counts, caps, n_med = out
+        counts, caps, n_med = jax.device_get((counts, caps, n_med))
         if bool(np.any(np.asarray(counts) > np.asarray(caps))):
             if attempt >= len(self.model.unet_planes):
                 raise RuntimeError(
@@ -704,14 +728,15 @@ class ModelInference:
         n_i = int(keep.sum())
         if n_i == 0:
             return
-        cls = np.asarray(
-            self._slice1_fn(cap, self._round_stage(n_i, cap))(preds["class_l"])
-        )[:n_i]
-        med = np.isin(cls, np.asarray(self.medial_classes, cls.dtype))
-        m = int(med.sum())
-        r_s, d_s = self._slice2_fn(cap, self._round_stage(m, cap))(
-            preds["radius"], preds["direction"]
+        m = int(n_med)
+        cls_s, r_s, d_s = jax.device_get(
+            self._slice3_fn(
+                cap, self._round_stage(n_i, cap), self._round_stage(m, cap)
+            )(preds["class_l"], preds["radius"], preds["direction"])
         )
+        cls = np.asarray(cls_s)[:n_i]
+        med = np.isin(cls, np.asarray(self.medial_classes, cls.dtype))
+        assert m == int(med.sum()), (m, int(med.sum()))  # device/host agree
         radius = np.zeros((n_i, 1), np.float32)
         direction = np.zeros((n_i, 3), np.float32)
         pos = np.flatnonzero(med)

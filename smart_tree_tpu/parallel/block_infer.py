@@ -109,6 +109,14 @@ def make_sharded_forward(
                 "direction": preds["direction"][perm_m],
                 "class_l": preds["class_l"][perm_i],
             }
+            n_med = jnp.sum(keep_m, dtype=jnp.int32)
+            preds = jax.tree.map(lambda a: a[:stage], preds)
+            return (
+                jax.tree.map(lambda a: a[None], preds),
+                counts[None],
+                caps[None],
+                n_med[None],
+            )
         preds = jax.tree.map(lambda a: a[:stage], preds)
         return (
             jax.tree.map(lambda a: a[None], preds),
@@ -156,11 +164,12 @@ def make_sharded_forward(
 
     if staged is not None:
         n_in = 5 if medial_classes else 4
+        n_out = 4 if medial_classes else 3
         sharded = jax.shard_map(
             per_shard_staged,
             mesh=mesh,
             in_specs=tuple(P(axis) for _ in range(n_in)),
-            out_specs=(P(axis), P(axis), P(axis)),
+            out_specs=tuple(P(axis) for _ in range(n_out)),
             check_vma=False,
         )
     else:
