@@ -49,5 +49,14 @@ def pytest_configure(config):
 
         _xb._clear_backends()
 
+    # CPU lanes: disable persistent-cache WRITES (reads stay on). Serializing
+    # certain sharded CPU executables for the cache segfaults the process on
+    # this host (jax compilation_cache.put_executable_and_time — observed
+    # 2026-08-21 killing the slow lane twice, SIGSEGV inside the cache write
+    # after the compile succeeded). CPU compiles are seconds here; the cache
+    # only pays off for the remote-compiled TPU programs, which the TPU lane
+    # keeps.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert len(jax.devices()) == 8, jax.devices()
