@@ -31,13 +31,14 @@ try:  # pragma: no cover - best effort
     _cache_dir = _os.environ.get("SMART_TREE_TPU_JAX_CACHE", "/tmp/jax_cache")
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        # CPU processes: reads on, WRITES off — serializing certain sharded
-        # CPU executables for the cache segfaults on this host (jax
-        # compilation_cache.put_executable_and_time, observed 2026-08-21).
-        # CPU compiles are seconds; the cache pays off for remote-compiled
-        # TPU programs only. tests/conftest.py applies the same policy for
-        # the in-process backend switch.
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+        # CPU processes: the persistent cache is OFF — (de)serializing
+        # certain sharded CPU executables segfaults on this host, first in
+        # the cache write and, once a poisoned entry exists, in every read
+        # (jax compilation_cache.{put,get}_executable_and_time, observed
+        # 2026-08-21). CPU compiles are seconds; the cache pays off for
+        # remote-compiled TPU programs only. tests/conftest.py applies the
+        # same policy for the in-process backend switch.
+        _jax.config.update("jax_enable_compilation_cache", False)
     else:
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:

@@ -49,14 +49,15 @@ def pytest_configure(config):
 
         _xb._clear_backends()
 
-    # CPU lanes: disable persistent-cache WRITES (reads stay on). Serializing
-    # certain sharded CPU executables for the cache segfaults the process on
-    # this host (jax compilation_cache.put_executable_and_time — observed
-    # 2026-08-21 killing the slow lane twice, SIGSEGV inside the cache write
-    # after the compile succeeded). CPU compiles are seconds here; the cache
-    # only pays off for the remote-compiled TPU programs, which the TPU lane
-    # keeps.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    # CPU lanes: the persistent compilation cache is OFF entirely. (De)
+    # serializing certain sharded CPU executables segfaults the process on
+    # this host — first in put_executable_and_time during the write, then,
+    # once a poisoned entry exists, in get_executable_and_time on every
+    # read (observed 2026-08-21, killed the slow lane three times). CPU
+    # compiles are seconds here; the cache exists for the remote-compiled
+    # TPU programs, which the TPU lane keeps (TPU cache keys never collide
+    # with CPU ones — the platform is part of the key).
+    jax.config.update("jax_enable_compilation_cache", False)
 
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert len(jax.devices()) == 8, jax.devices()
